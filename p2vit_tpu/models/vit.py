@@ -1,0 +1,464 @@
+"""Fully-quantized ViT/DeiT — TPU-native rebuild of the P²-ViT model.
+
+Rebuild of /root/reference/models/vit_fquant.py (1074 LoC of stateful
+nn.Modules with mutable quant/calibrate flags) as three pure functions:
+
+  * ``fp_forward(params, cfg, x)``          — plain fp forward (baseline eval,
+    Hessian sensitivity, data-free generation).
+  * ``calibrate(params, cfg, policy, x)``   — one pass over a calibration
+    batch producing a serializable ``QuantState`` pytree (scales, PoT
+    exponents, PTF masks, per-bit smoothquant caches) + the mixed-precision
+    artifacts (FLOPs cost vector, per-bit weight distances). Replaces the
+    reference's model_open_calibrate/model_open_last_calibrate mutation
+    protocol (vit_fquant.py:797-828).
+  * ``quant_forward(params, qstate, cfg, policy, x, bit_idx)`` — the fully
+    quantized forward. JIT-compiled ONCE: the per-layer bit widths arrive as
+    a traced int32 index vector, so the evolutionary mixed-precision search
+    evaluates every candidate config with the same executable (the reference
+    instead rebinds quantizer.bit_type per call, layers.py:204-207).
+
+Quantization-node placement matches SURVEY §2.1 / vit_fquant.py exactly:
+qact_input → patch-embed (conv-as-matmul) → qact → [cls; x] → qact_embed →
++qact_pos(pos) → qact1(PTF) → 12× Block{int-LN1 → Attention{/cs → qact0 →
+qkv → qact1 → q@kᵀ → qact_attn1 → LIS → @v → qact2 → proj → qact3(PTF)} →
+residual → qact2(PTF) → int-LN2 → Mlp{/cs → qact0 → fc1 → GELU → qact1 →
+fc2 → qact2(PTF)} → residual → qact4(PTF)} → int-LN → [:,0] → qact2 → head
+→ act_out.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..config import QuantPolicy
+from ..quant.bit_type import BIT_TYPE_DICT, EVAL_BIT_POOL
+from ..quant.fake_quant import fake_quant, fake_quant_dyn, lp_loss
+from ..quant.intops import int_layernorm, log_int_softmax
+from ..quant.smoothquant import ATTN_ALPHA_POOL, MLP_ALPHA_POOL, pot_smooth_channel_scale
+from ..quant.solve import solve_act, solve_weight_all_bits
+from .common import (
+    ViTConfig,
+    extract_patches,
+    gelu,
+    layer_norm,
+    linear,
+    merge_heads,
+    split_qkv,
+    trunc_normal,
+    vit_flops,
+)
+
+INT8 = BIT_TYPE_DICT["int8"]
+
+# Dynamic-bit bounds, indexed by the eval bit index (0 → int4, 1 → int8);
+# the weight-scale dic row for eval bit j is 2 + j (rows are
+# [uint3, uint4, int4, int8], bit_type.py WEIGHT_CALIB_BIT_TYPES order).
+EVAL_QMIN = jnp.array([-8.0, -128.0], dtype=jnp.float32)
+EVAL_QMAX = jnp.array([7.0, 127.0], dtype=jnp.float32)
+N_EVAL_BITS = len(EVAL_BIT_POOL)
+
+
+def bits_to_idx(bit_config) -> jnp.ndarray:
+    """Map a reference-style bit_config list (e.g. [4]*50,
+    test_quant.py:467) to the int32 index vector quant_forward consumes."""
+    lut = {b: i for i, b in enumerate(EVAL_BIT_POOL)}
+    return jnp.array([lut[int(b)] for b in bit_config], dtype=jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Parameters
+# ---------------------------------------------------------------------------
+
+
+def init_params(key, cfg: ViTConfig) -> dict:
+    """Random init (trunc normal σ=0.02, vit_fquant.py:771-782)."""
+    c, h, p = cfg.embed_dim, cfg.hidden_dim, cfg.patch_size
+    keys = iter(jax.random.split(key, 8 + 6 * cfg.depth))
+
+    def lin(o, i):
+        return {"w": trunc_normal(next(keys), (o, i)), "b": jnp.zeros((o,))}
+
+    def ln():
+        return {"w": jnp.ones((c,)), "b": jnp.zeros((c,))}
+
+    blocks = []
+    for _ in range(cfg.depth):
+        blocks.append(
+            {
+                "norm1": ln(),
+                "qkv": lin(3 * c, c),
+                "proj": lin(c, c),
+                "norm2": ln(),
+                "fc1": lin(h, c),
+                "fc2": lin(c, h),
+            }
+        )
+    return {
+        "cls_token": trunc_normal(next(keys), (1, 1, c)),
+        "pos_embed": trunc_normal(next(keys), (1, cfg.seq_len, c)),
+        "patch_embed": lin(c, cfg.in_chans * p * p),
+        "blocks": blocks,
+        "norm": ln(),
+        "head": lin(cfg.num_classes, c),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Plain fp forward (baseline / Hessian / data-free generation)
+# ---------------------------------------------------------------------------
+
+
+def fp_forward(params, cfg: ViTConfig, x, attn_tap=None):
+    """fp32/bf16 ViT forward. With all Q-nodes passing through, the reference
+    model degenerates to exactly this graph (SURVEY §3.5).
+
+    Args:
+      attn_tap: optional list; when given, each block's (attn @ v) output
+        (B, N, C) is appended — the MatMul hook surface that PSAQ-ViT's
+        data-free generator taps (/root/reference/utils/build_model.py:78-80).
+    """
+    eps = cfg.ln_eps
+    b = x.shape[0]
+    x = extract_patches(x, cfg.patch_size)
+    x = linear(x, params["patch_embed"]["w"], params["patch_embed"]["b"])
+    cls = jnp.broadcast_to(params["cls_token"], (b, 1, cfg.embed_dim))
+    x = jnp.concatenate([cls, x], axis=1) + params["pos_embed"]
+    for blk in params["blocks"]:
+        h = layer_norm(x, blk["norm1"]["w"], blk["norm1"]["b"], eps)
+        h = linear(h, blk["qkv"]["w"], blk["qkv"]["b"])
+        q, k, v = split_qkv(h, cfg.num_heads)
+        attn = (q @ k.transpose(0, 1, 3, 2)) * cfg.attn_scale
+        attn = jax.nn.softmax(attn, axis=-1)
+        h = merge_heads(attn @ v)
+        if attn_tap is not None:
+            attn_tap.append(h)
+        h = linear(h, blk["proj"]["w"], blk["proj"]["b"])
+        x = x + h
+        h = layer_norm(x, blk["norm2"]["w"], blk["norm2"]["b"], eps)
+        h = linear(h, blk["fc1"]["w"], blk["fc1"]["b"])
+        h = gelu(h)
+        h = linear(h, blk["fc2"]["w"], blk["fc2"]["b"])
+        x = x + h
+    x = layer_norm(x, params["norm"]["w"], params["norm"]["b"], eps)[:, 0]
+    return linear(x, params["head"]["w"], params["head"]["b"])
+
+
+# ---------------------------------------------------------------------------
+# Calibration
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class CalibResult:
+    """Serializable calibration artifacts (fixes the reference's
+    never-serialized quantization state, SURVEY §5 checkpoint gap)."""
+
+    qstate: dict
+    flops: list  # length num_matmuls; the mixed-precision size proxy
+    global_distance: jnp.ndarray  # (num_matmuls - 1, 4) per-bit L2 errors
+
+
+def _qact(method, x, bit_type=INT8):
+    """Solve one activation node; returns its qstate dict entry."""
+    out = solve_act(method, x, bit_type)
+    if len(out) == 3:
+        scale, zp, mask = out
+        return {"scale": scale, "zp": zp, "mask": mask}
+    scale, zp = out
+    return {"scale": scale, "zp": zp}
+
+
+def _smooth_calibrate(x, w, bias, alpha_pool, policy, distances):
+    """Shared qkv/fc1 PoT-SmoothQuant calibration.
+
+    Mirrors vit_fquant.py:232-333 (attention, α-pool [0.35]) and
+    layers_quant.py:255-347 (MLP fc1, α-pool [0.5]): per α, smooth, observe
+    qact0 + per-bit weight scales, then per eval bit measure the fp-vs-quant
+    L2 loss of the layer output and keep the best α's caches.
+
+    Returns (state_dict, gt) where gt (the smoothed fp output of the LAST α,
+    vit_fquant.py:333) flows onward through calibration.
+    """
+    c = x.shape[-1]
+    x2 = x.reshape(-1, c)
+    cs_pool, act_s, act_zp, wsc_pool, losses = [], [], [], [], []
+    gt = None
+    dist_last = None
+    for alpha in alpha_pool:
+        cs = pot_smooth_channel_scale(x, w, alpha)
+        x_sm = x / cs
+        w_sm = w * cs[None, :]
+        gt = linear(x_sm, w_sm, bias)
+        q = _qact(policy.observer_a, x_sm)
+        wscale, dist = solve_weight_all_bits(w_sm, x_sm.reshape(-1, c))
+        dist_last = dist
+        cs_pool.append(cs)
+        act_s.append(q["scale"])
+        act_zp.append(q["zp"])
+        wsc_pool.append(wscale)
+        per_bit = []
+        for j in range(N_EVAL_BITS):
+            xq = fake_quant(x_sm, q["scale"], q["zp"], INT8)
+            wq = fake_quant_dyn(w_sm, wscale[2 + j][:, None], 0.0, EVAL_QMIN[j], EVAL_QMAX[j])
+            per_bit.append(lp_loss(gt, linear(xq, wq, bias)))
+        losses.append(per_bit)
+    # reference appends ONE distance row per α iteration; a >1 α pool would
+    # break its length-49 assert (test_quant.py:319) so only the last row is
+    # recorded here (identical when len(alpha_pool) == 1, the shipped value)
+    distances.append(dist_last)
+    loss_mat = jnp.array(losses)  # [n_alpha, n_bits]
+    best = [int(jnp.argmin(loss_mat[:, j])) for j in range(N_EVAL_BITS)]
+    state = {
+        "channel_scale": jnp.stack([cs_pool[i] for i in best]),
+        "qact0_scale": jnp.stack([jnp.asarray(act_s[i]) for i in best]),
+        "qact0_zp": jnp.stack([jnp.asarray(act_zp[i]) for i in best]),
+        "wscale": jnp.stack([wsc_pool[i] for i in best]),
+    }
+    return state, gt
+
+
+def calibrate(params, cfg: ViTConfig, policy: QuantPolicy, x) -> CalibResult:
+    """One-batch calibration pass (stats + param solve, quant off).
+
+    Follows the reference calibration forward (SURVEY §3.1) node for node;
+    all activations flowing between nodes are the raw fp values (quant=False
+    during calibration), except that smoothquant blocks forward their
+    smoothed fp output ``gt`` (vit_fquant.py:333).
+    """
+    a, a_ln = policy.observer_a, policy.observer_a_ln
+    eps = cfg.ln_eps
+    dists: list = []
+    qs: dict = {}
+
+    qs["qact_input"] = _qact(a, x)
+    # patch embed: conv-as-matmul; PoT search sees the im2col'd input
+    patches = extract_patches(x, cfg.patch_size)
+    pw, pb = params["patch_embed"]["w"], params["patch_embed"]["b"]
+    p2 = patches.reshape(-1, patches.shape[-1])
+    patch_wscale, _ = solve_weight_all_bits(pw, p2)  # QConv2d appends no distance
+    x = linear(patches, pw, pb)
+    qs["patch"] = {"wscale": patch_wscale, "qact": _qact(a, x)}
+
+    b = x.shape[0]
+    cls = jnp.broadcast_to(params["cls_token"], (b, 1, cfg.embed_dim))
+    x = jnp.concatenate([cls, x], axis=1)
+    qs["qact_embed"] = _qact(a, x)
+    qs["qact_pos"] = _qact(a, params["pos_embed"])
+    x = x + params["pos_embed"]
+    qs["qact1"] = _qact(a_ln, x)
+
+    qs["blocks"] = []
+    for blk in params["blocks"]:
+        bq: dict = {}
+        # --- attention ---
+        h = layer_norm(x, blk["norm1"]["w"], blk["norm1"]["b"], eps)
+        if policy.smoothquant:
+            attn_state, h = _smooth_calibrate(
+                h, blk["qkv"]["w"], blk["qkv"]["b"], ATTN_ALPHA_POOL, policy, dists
+            )
+        else:
+            q0 = _qact(a, h)
+            wscale, dist = solve_weight_all_bits(
+                blk["qkv"]["w"], h.reshape(-1, cfg.embed_dim)
+            )
+            dists.append(dist)
+            attn_state = {
+                "channel_scale": jnp.ones((N_EVAL_BITS, cfg.embed_dim)),
+                "qact0_scale": jnp.stack([q0["scale"]] * N_EVAL_BITS),
+                "qact0_zp": jnp.stack([q0["zp"]] * N_EVAL_BITS),
+                "wscale": jnp.stack([wscale] * N_EVAL_BITS),
+            }
+            h = linear(h, blk["qkv"]["w"], blk["qkv"]["b"])
+        attn_state["qact1"] = _qact(a, h)
+        q, k, v = split_qkv(h, cfg.num_heads)
+        attn = (q @ k.transpose(0, 1, 3, 2)) * cfg.attn_scale
+        attn_state["qact_attn1"] = _qact(a, attn)
+        if policy.int_softmax:
+            # scale is already solved within this forward, so calibration
+            # sees the LIS output exactly like the reference (layers.py:419)
+            attn = log_int_softmax(
+                attn, attn_state["qact_attn1"]["scale"], policy.bit_type_s
+            )
+        else:
+            attn = jax.nn.softmax(attn, axis=-1)
+        h = merge_heads(attn @ v)
+        attn_state["qact2"] = _qact(a, h)
+        proj_wscale, dist = solve_weight_all_bits(
+            blk["proj"]["w"], h.reshape(-1, cfg.embed_dim)
+        )
+        dists.append(dist)
+        attn_state["proj_wscale"] = proj_wscale
+        h = linear(h, blk["proj"]["w"], blk["proj"]["b"])
+        attn_state["qact3"] = _qact(a_ln, h)
+        bq["attn"] = attn_state
+        x = x + h
+        bq["qact2"] = _qact(a_ln, x)
+        # --- mlp ---
+        h = layer_norm(x, blk["norm2"]["w"], blk["norm2"]["b"], eps)
+        if policy.smoothquant:
+            mlp_state, h = _smooth_calibrate(
+                h, blk["fc1"]["w"], blk["fc1"]["b"], MLP_ALPHA_POOL, policy, dists
+            )
+        else:
+            q0 = _qact(a, h)
+            wscale, dist = solve_weight_all_bits(
+                blk["fc1"]["w"], h.reshape(-1, cfg.embed_dim)
+            )
+            dists.append(dist)
+            mlp_state = {
+                "channel_scale": jnp.ones((N_EVAL_BITS, cfg.embed_dim)),
+                "qact0_scale": jnp.stack([q0["scale"]] * N_EVAL_BITS),
+                "qact0_zp": jnp.stack([q0["zp"]] * N_EVAL_BITS),
+                "wscale": jnp.stack([wscale] * N_EVAL_BITS),
+            }
+            h = linear(h, blk["fc1"]["w"], blk["fc1"]["b"])
+        h = gelu(h)
+        mlp_state["qact1"] = _qact(a, h)
+        fc2_wscale, dist = solve_weight_all_bits(
+            blk["fc2"]["w"], h.reshape(-1, cfg.hidden_dim)
+        )
+        dists.append(dist)
+        mlp_state["fc2_wscale"] = fc2_wscale
+        h = linear(h, blk["fc2"]["w"], blk["fc2"]["b"])
+        mlp_state["qact2"] = _qact(a_ln, h)
+        bq["mlp"] = mlp_state
+        x = x + h
+        bq["qact4"] = _qact(a_ln, x)
+        qs["blocks"].append(bq)
+
+    x = layer_norm(x, params["norm"]["w"], params["norm"]["b"], eps)[:, 0]
+    qs["qact2"] = _qact(a, x)
+    head_wscale, dist = solve_weight_all_bits(params["head"]["w"], x)
+    dists.append(dist)
+    qs["head_wscale"] = head_wscale
+    x = linear(x, params["head"]["w"], params["head"]["b"])
+    qs["act_out"] = _qact(a, x)
+
+    return CalibResult(
+        qstate=qs, flops=vit_flops(cfg), global_distance=jnp.stack(dists)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quantized forward (jittable)
+# ---------------------------------------------------------------------------
+
+
+def _fq(x, q, ndim_vec=True):
+    """Fake-quant an activation with a solved node (int8, scalar or PTF [C]
+    scale broadcast on the channel-last axis)."""
+    return fake_quant(x, q["scale"], q["zp"], INT8)
+
+
+def _fq_weight(w, wscale_dic, bit, per_out_axis=True):
+    """Weight fake-quant with the traced eval bit: pick the dic row
+    (2 + bit → int4/int8) and the matching clamp bounds."""
+    scale = wscale_dic[2 + bit]
+    return fake_quant_dyn(w, scale[:, None], 0.0, EVAL_QMIN[bit], EVAL_QMAX[bit])
+
+
+def _intln_or_ln(x, ln_params, policy, in_q, out_scale, eps):
+    """LN in 'int' mode when INT_NORM else plain fp LN
+    (/root/reference/models/ptq/layers.py:276-339)."""
+    if policy.int_norm:
+        return int_layernorm(
+            x, ln_params["w"], ln_params["b"], in_q["scale"], out_scale
+        )
+    return layer_norm(x, ln_params["w"], ln_params["b"], eps)
+
+
+def quant_forward(params, qstate, cfg: ViTConfig, policy: QuantPolicy, x, bit_idx):
+    """Fully-quantized forward. ``bit_idx`` is the int32 [num_matmuls] index
+    vector from ``bits_to_idx`` — traced, so the compiled executable serves
+    every mixed-precision config (SURVEY §7 design translation).
+    """
+    eps = cfg.ln_eps
+    b = x.shape[0]
+    x = _fq(x, qstate["qact_input"])
+
+    patches = extract_patches(x, cfg.patch_size)
+    pw = _fq_weight(params["patch_embed"]["w"], qstate["patch"]["wscale"], bit_idx[0])
+    x = linear(patches, pw, params["patch_embed"]["b"])
+    x = _fq(x, qstate["patch"]["qact"])
+
+    cls = jnp.broadcast_to(params["cls_token"], (b, 1, cfg.embed_dim))
+    x = jnp.concatenate([cls, x], axis=1)
+    x = _fq(x, qstate["qact_embed"])
+    x = x + _fq(params["pos_embed"], qstate["qact_pos"])
+    x = _fq(x, qstate["qact1"])
+
+    last_q = qstate["qact1"]
+    for i, blk in enumerate(params["blocks"]):
+        bq = qstate["blocks"][i]
+        aq, mq = bq["attn"], bq["mlp"]
+        bit_qkv = bit_idx[1 + 4 * i]
+        bit_proj = bit_idx[2 + 4 * i]
+        bit_fc1 = bit_idx[3 + 4 * i]
+        bit_fc2 = bit_idx[4 + 4 * i]
+
+        # --- attention ---
+        cs = aq["channel_scale"][bit_qkv]
+        q0_scale = aq["qact0_scale"][bit_qkv]
+        # int-LN1 folds the smoothing division into its output requant:
+        # out_scale = qact0.scale * channel_scale (layers.py:304-306)
+        h = _intln_or_ln(
+            x, blk["norm1"], policy, last_q, q0_scale * cs, eps
+        )
+        if policy.smoothquant:
+            h = h / cs
+        h = fake_quant(h, q0_scale, aq["qact0_zp"][bit_qkv], INT8)
+        w_sm = blk["qkv"]["w"] * cs[None, :] if policy.smoothquant else blk["qkv"]["w"]
+        wq = _fq_weight(w_sm, aq["wscale"][bit_qkv], bit_qkv)
+        h = linear(h, wq, blk["qkv"]["b"])
+        h = _fq(h, aq["qact1"])
+        q, k, v = split_qkv(h, cfg.num_heads)
+        attn = (q @ k.transpose(0, 1, 3, 2)) * cfg.attn_scale
+        attn = _fq(attn, aq["qact_attn1"])
+        if policy.int_softmax:
+            attn = log_int_softmax(attn, aq["qact_attn1"]["scale"], policy.bit_type_s)
+        else:
+            attn = jax.nn.softmax(attn, axis=-1)
+        h = merge_heads(attn @ v)
+        h = _fq(h, aq["qact2"])
+        wq = _fq_weight(blk["proj"]["w"], aq["proj_wscale"], bit_proj)
+        h = linear(h, wq, blk["proj"]["b"])
+        h = _fq(h, aq["qact3"])
+        x = x + h
+        x = _fq(x, bq["qact2"])
+
+        # --- mlp ---
+        cs_m = mq["channel_scale"][bit_fc1]
+        q0m_scale = mq["qact0_scale"][bit_fc1]
+        # reference quirk: Block.forward passes attn.channel_scale (not
+        # mlp.channel_scale) as norm2's out_quantizer_scale
+        # (vit_fquant.py:561-570); replicated behind the compat flag
+        norm2_cs = cs if policy.norm2_attn_channel_scale_compat else cs_m
+        h = _intln_or_ln(
+            x, blk["norm2"], policy, bq["qact2"], q0m_scale * norm2_cs, eps
+        )
+        if policy.smoothquant:
+            h = h / cs_m
+        h = fake_quant(h, q0m_scale, mq["qact0_zp"][bit_fc1], INT8)
+        w_sm = blk["fc1"]["w"] * cs_m[None, :] if policy.smoothquant else blk["fc1"]["w"]
+        wq = _fq_weight(w_sm, mq["wscale"][bit_fc1], bit_fc1)
+        h = linear(h, wq, blk["fc1"]["b"])
+        h = gelu(h)
+        h = _fq(h, mq["qact1"])
+        wq = _fq_weight(blk["fc2"]["w"], mq["fc2_wscale"], bit_fc2)
+        h = linear(h, wq, blk["fc2"]["b"])
+        h = _fq(h, mq["qact2"])
+        x = x + h
+        x = _fq(x, bq["qact4"])
+        last_q = bq["qact4"]
+
+    x = _intln_or_ln(
+        x, params["norm"], policy, last_q, qstate["qact2"]["scale"], eps
+    )[:, 0]
+    x = _fq(x, qstate["qact2"])
+    wq = _fq_weight(params["head"]["w"], qstate["head_wscale"], bit_idx[-1])
+    x = linear(x, wq, params["head"]["b"])
+    return _fq(x, qstate["act_out"])

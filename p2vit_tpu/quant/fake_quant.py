@@ -68,6 +68,18 @@ def fake_quant(x, scale, zero_point, bit_type: BitType):
     return dequantize(quantize(x, scale, zero_point, bit_type), scale, zero_point)
 
 
+def fake_quant_dyn(x, scale, zero_point, qmin, qmax):
+    """Fake-quant with TRACED integer bounds.
+
+    Used on the jittable eval path where the per-layer bit width comes from a
+    traced ``bit_config`` array (the reference rebinds quantizer.bit_type per
+    call, /root/reference/models/ptq/layers.py:204-207; here the bounds are
+    data so one compiled forward serves every mixed-precision config).
+    """
+    q = jnp.clip(jnp.round(x / scale + zero_point), qmin, qmax)
+    return (q - zero_point) * scale
+
+
 def log2_quantize(x, bit_type: BitType):
     """Log2 quantization of a probability-like tensor.
 

@@ -1,0 +1,107 @@
+"""End-to-end tests for the quantized ViT: fp forward, calibrate,
+quant_forward, mixed-precision bit selection.
+
+Tiny-model CPU-runnable E2E per SURVEY §4's designed test strategy (layer 3).
+"""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from p2vit_tpu.config import make_policy
+from p2vit_tpu.models.common import ViTConfig, vit_flops
+from p2vit_tpu.models import vit
+
+
+TINY = ViTConfig(
+    img_size=32, patch_size=8, num_classes=10, embed_dim=16, depth=2, num_heads=2
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    key = jax.random.PRNGKey(0)
+    params = vit.init_params(key, TINY)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 3, 32, 32))
+    return params, x
+
+
+def test_fp_forward_shape(setup):
+    params, x = setup
+    logits = vit.fp_forward(params, TINY, x)
+    assert logits.shape == (4, 10)
+    assert jnp.isfinite(logits).all()
+
+
+def test_flops_layout():
+    # 2 + 4*depth entries: patch + 4/block + head (test_quant.py:467 → 50
+    # for depth 12)
+    assert len(vit_flops(TINY)) == 2 + 4 * TINY.depth
+    assert len(vit_flops(ViTConfig())) == 50
+
+
+def test_calibrate_and_quant_forward(setup):
+    params, x = setup
+    policy = make_policy(ptf=True, lis=True, quant_method="minmax")
+    calib = vit.calibrate(params, TINY, policy, x)
+    n = TINY.num_matmuls
+    assert calib.global_distance.shape == (n - 1, 4)
+    assert len(calib.flops) == n
+    # PTF masks are powers of two in {1,2,4,8}
+    mask = calib.qstate["qact1"]["mask"]
+    assert set(jnp.unique(mask).tolist()) <= {1.0, 2.0, 4.0, 8.0}
+    # weight scales are powers of two (PoT search)
+    ws = calib.qstate["blocks"][0]["attn"]["proj_wscale"]
+    exps = jnp.log2(ws)
+    assert jnp.allclose(exps, jnp.round(exps), atol=1e-6)
+
+    bit_idx = vit.bits_to_idx([8] * n)
+    logits = vit.quant_forward(params, calib.qstate, TINY, policy, x, bit_idx)
+    assert logits.shape == (4, 10)
+    assert jnp.isfinite(logits).all()
+
+    # W8A8 quantized output should approximate the fp output
+    fp = vit.fp_forward(params, TINY, x)
+    rel = jnp.linalg.norm(logits - fp) / jnp.linalg.norm(fp)
+    assert rel < 0.5, f"relative error too large: {rel}"
+
+
+def test_quant_forward_jit_bit_configs(setup):
+    """One compiled executable must serve every mixed-precision config."""
+    params, x = setup
+    policy = make_policy()
+    calib = vit.calibrate(params, TINY, policy, x)
+    n = TINY.num_matmuls
+
+    fwd = jax.jit(
+        lambda bi: vit.quant_forward(params, calib.qstate, TINY, policy, x, bi)
+    )
+    l8 = fwd(vit.bits_to_idx([8] * n))
+    l4 = fwd(vit.bits_to_idx([4] * n))
+    lmix = fwd(vit.bits_to_idx([8, 4] * (n // 2)))
+    assert jnp.isfinite(l8).all() and jnp.isfinite(l4).all()
+    # different bit configs must actually change the network output
+    assert not jnp.allclose(l8, l4)
+    assert not jnp.allclose(l8, lmix)
+
+
+def test_policy_variants(setup):
+    """ptf/lis off → plain LN / fp softmax paths still work."""
+    params, x = setup
+    n = TINY.num_matmuls
+    for ptf, lis in [(False, True), (True, False), (False, False)]:
+        policy = make_policy(ptf=ptf, lis=lis)
+        calib = vit.calibrate(params, TINY, policy, x)
+        logits = vit.quant_forward(
+            params, calib.qstate, TINY, policy, x, vit.bits_to_idx([8] * n)
+        )
+        assert jnp.isfinite(logits).all()
+
+
+def test_smoothquant_channel_scales_pot(setup):
+    params, x = setup
+    policy = make_policy()
+    calib = vit.calibrate(params, TINY, policy, x)
+    cs = calib.qstate["blocks"][0]["attn"]["channel_scale"]
+    exps = jnp.log2(cs)
+    assert jnp.allclose(exps, jnp.round(exps), atol=1e-6)

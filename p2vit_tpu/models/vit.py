@@ -343,6 +343,56 @@ def calibrate(params, cfg: ViTConfig, policy: QuantPolicy, x) -> CalibResult:
     )
 
 
+def synthetic_qstate(cfg: ViTConfig) -> dict:
+    """A structurally-correct QuantState with placeholder PoT scales.
+
+    For compile checks and kernel benchmarking where real calibration is not
+    needed — the compiled graph is identical to one built from a calibrated
+    state (same shapes/dtypes), only the values differ.
+    """
+    c, h3, hid = cfg.embed_dim, 3 * cfg.embed_dim, cfg.hidden_dim
+
+    def act(chan=None):
+        s = jnp.full((chan,), 0.125) if chan else jnp.asarray(0.125)
+        d = {"scale": s, "zp": jnp.zeros_like(s)}
+        if chan:
+            d["mask"] = jnp.ones((chan,))
+        return d
+
+    def wdic(o):
+        return jnp.full((4, o), 0.0625)
+
+    def smooth(o):
+        return {
+            "channel_scale": jnp.ones((N_EVAL_BITS, c)),
+            "qact0_scale": jnp.full((N_EVAL_BITS,), 0.125),
+            "qact0_zp": jnp.zeros((N_EVAL_BITS,)),
+            "wscale": jnp.stack([wdic(o)] * N_EVAL_BITS),
+        }
+
+    blocks = []
+    for _ in range(cfg.depth):
+        attn = smooth(h3)
+        attn.update(
+            qact1=act(), qact_attn1=act(), qact2=act(),
+            proj_wscale=wdic(c), qact3=act(c),
+        )
+        mlp = smooth(hid)
+        mlp.update(qact1=act(), fc2_wscale=wdic(c), qact2=act(c))
+        blocks.append({"attn": attn, "qact2": act(c), "mlp": mlp, "qact4": act(c)})
+    return {
+        "qact_input": act(),
+        "patch": {"wscale": wdic(c), "qact": act()},
+        "qact_embed": act(),
+        "qact_pos": act(),
+        "qact1": act(c),
+        "blocks": blocks,
+        "qact2": act(),
+        "head_wscale": wdic(cfg.num_classes),
+        "act_out": act(),
+    }
+
+
 # ---------------------------------------------------------------------------
 # Quantized forward (jittable)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,226 @@
+"""Checkpoint ingestion: torch state_dicts + Flax AugReg .npz → params pytree.
+
+TPU-native rebuild of the reference's pretrained-weight loading
+(/root/reference/models/vit_fquant.py:960-1073 torch.hub state_dicts;
+/root/reference/models/utils.py:12-206 AugReg npz with a hardcoded local
+cache path). Differences by design:
+
+  * No implicit downloads (this environment has no egress; the reference's
+    npz download call is itself commented out, models/utils.py:100-102).
+    Callers pass an explicit local file; ``load_pretrained`` resolves the
+    standard torch-hub cache directory if present.
+  * Output is the p2vit_tpu params pytree (jnp arrays), not an nn.Module.
+
+Quantization state is a SEPARATE serializable artifact (see
+``save_quant_state``/``load_quant_state``) — fixing the reference gap where
+scales/PoT masks/smoothquant caches are never serialized and every run
+re-calibrates (SURVEY §5).
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import pickle
+import zipfile
+
+import numpy as np
+import jax.numpy as jnp
+
+from .models.common import ViTConfig
+
+# torch-hub filenames for the 5 ViT/DeiT zoo entries (vit_fquant.py:960-1073)
+HUB_FILES = {
+    "deit_tiny_patch16_224": "deit_tiny_patch16_224-a1311bcf.pth",
+    "deit_small_patch16_224": "deit_small_patch16_224-cd65a155.pth",
+    "deit_base_patch16_224": "deit_base_patch16_224-b5f2ef4d.pth",
+    "vit_base_patch16_224": "B_16-i21k-300ep-lr_0.001-aug_medium1-wd_0.1-do_0.0-sd_0.0--imagenet2012-steps_20k-lr_0.01-res_224.npz",
+    "vit_large_patch16_224": "L_16-i21k-300ep-lr_0.001-aug_medium1-wd_0.1-do_0.0-sd_0.0--imagenet2012-steps_20k-lr_0.01-res_224.npz",
+}
+
+
+def _torch_load_state_dict(path: str) -> dict:
+    """Load a torch .pth checkpoint to numpy without importing torch eagerly.
+
+    Uses torch when available (baked in); the zipfile+pickle fallback keeps
+    the loader importable in torch-free environments.
+    """
+    try:
+        import torch
+
+        obj = torch.load(path, map_location="cpu", weights_only=True)
+        if isinstance(obj, dict) and "model" in obj:  # facebook deit wrapping
+            obj = obj["model"]
+        return {k: np.asarray(v.detach().numpy()) for k, v in obj.items()}
+    except ImportError:
+        pass
+    with zipfile.ZipFile(path) as zf:  # pragma: no cover - torch is baked in
+        raise NotImplementedError("torch unavailable; cannot unpickle .pth")
+
+
+def from_torch_state_dict(sd: dict, cfg: ViTConfig) -> dict:
+    """Map a timm/DeiT-style ViT state_dict onto the params pytree.
+
+    Key layout follows the reference model's module tree (vit_fquant.py:
+    patch_embed.proj, cls_token, pos_embed, blocks.N.{norm1,attn.qkv,
+    attn.proj,norm2,mlp.fc1,mlp.fc2}, norm, head).
+    """
+
+    def g(k):
+        return jnp.asarray(sd[k])
+
+    params = {
+        "cls_token": g("cls_token"),
+        "pos_embed": g("pos_embed"),
+        "patch_embed": {
+            # (C,3,p,p) conv kernel folds to (C, 3*p*p) with the same
+            # c*(p*p)+i*p+j ordering extract_patches produces
+            "w": g("patch_embed.proj.weight").reshape(cfg.embed_dim, -1),
+            "b": g("patch_embed.proj.bias"),
+        },
+        "blocks": [],
+        "norm": {"w": g("norm.weight"), "b": g("norm.bias")},
+        "head": {"w": g("head.weight"), "b": g("head.bias")},
+    }
+    for i in range(cfg.depth):
+        p = f"blocks.{i}."
+        params["blocks"].append(
+            {
+                "norm1": {"w": g(p + "norm1.weight"), "b": g(p + "norm1.bias")},
+                "qkv": {"w": g(p + "attn.qkv.weight"), "b": g(p + "attn.qkv.bias")},
+                "proj": {"w": g(p + "attn.proj.weight"), "b": g(p + "attn.proj.bias")},
+                "norm2": {"w": g(p + "norm2.weight"), "b": g(p + "norm2.bias")},
+                "fc1": {"w": g(p + "mlp.fc1.weight"), "b": g(p + "mlp.fc1.bias")},
+                "fc2": {"w": g(p + "mlp.fc2.weight"), "b": g(p + "mlp.fc2.bias")},
+            }
+        )
+    return params
+
+
+def from_augreg_npz(npz, cfg: ViTConfig) -> dict:
+    """Map a Google AugReg Flax .npz ViT checkpoint onto the params pytree.
+
+    Same transposition logic as the reference loader
+    (/root/reference/models/utils.py:143-206): conv kernel HWIO→OI(hw),
+    per-block q/k/v kernels concatenated into the fused qkv, Flax (in,out)
+    dense kernels transposed to torch (out,in).
+    """
+    c = cfg.embed_dim
+
+    def g(k):
+        return np.asarray(npz[k])
+
+    def dense(k):  # Flax (in, out) -> (out, in)
+        return jnp.asarray(g(k + "/kernel").T), jnp.asarray(g(k + "/bias"))
+
+    kern = g("embedding/kernel")  # (p, p, 3, C)
+    patch_w = jnp.asarray(kern.transpose(3, 2, 0, 1).reshape(c, -1))
+    pos = g("Transformer/posembed_input/pos_embedding")
+    params = {
+        "cls_token": jnp.asarray(g("cls")),
+        "pos_embed": jnp.asarray(pos),
+        "patch_embed": {"w": patch_w, "b": jnp.asarray(g("embedding/bias"))},
+        "blocks": [],
+        "norm": {
+            "w": jnp.asarray(g("Transformer/encoder_norm/scale")),
+            "b": jnp.asarray(g("Transformer/encoder_norm/bias")),
+        },
+        "head": {
+            "w": jnp.asarray(g("head/kernel").T),
+            "b": jnp.asarray(g("head/bias")),
+        },
+    }
+    for i in range(cfg.depth):
+        b = f"Transformer/encoderblock_{i}/"
+        att = b + "MultiHeadDotProductAttention_1/"
+        qkv_w = jnp.concatenate(
+            [
+                jnp.asarray(g(att + f"{n}/kernel").reshape(c, c).T)
+                for n in ("query", "key", "value")
+            ],
+            axis=0,
+        )  # (3C, C)
+        qkv_b = jnp.concatenate(
+            [jnp.asarray(g(att + f"{n}/bias").reshape(c)) for n in ("query", "key", "value")]
+        )
+        proj_w = jnp.asarray(g(att + "out/kernel").reshape(c, c).T)
+        proj_b = jnp.asarray(g(att + "out/bias"))
+        fc1_w, fc1_b = dense(b + "MlpBlock_3/Dense_0")
+        fc2_w, fc2_b = dense(b + "MlpBlock_3/Dense_1")
+        params["blocks"].append(
+            {
+                "norm1": {
+                    "w": jnp.asarray(g(b + "LayerNorm_0/scale")),
+                    "b": jnp.asarray(g(b + "LayerNorm_0/bias")),
+                },
+                "qkv": {"w": qkv_w, "b": qkv_b},
+                "proj": {"w": proj_w, "b": proj_b},
+                "norm2": {
+                    "w": jnp.asarray(g(b + "LayerNorm_2/scale")),
+                    "b": jnp.asarray(g(b + "LayerNorm_2/bias")),
+                },
+                "fc1": {"w": fc1_w, "b": fc1_b},
+                "fc2": {"w": fc2_w, "b": fc2_b},
+            }
+        )
+    return params
+
+
+def load_pretrained(model_name: str, cfg: ViTConfig, path: str | None = None) -> dict:
+    """Resolve + load pretrained weights for a zoo model from a local file.
+
+    Looks in (1) explicit ``path``, (2) $TORCH_HOME/hub/checkpoints,
+    (3) ~/.cache/torch/hub/checkpoints. Raises FileNotFoundError with the
+    expected filename if absent (no network egress here).
+    """
+    fname = HUB_FILES.get(model_name)
+    candidates = [path] if path else []
+    if fname:
+        hub = os.environ.get("TORCH_HOME", os.path.expanduser("~/.cache/torch"))
+        candidates += [os.path.join(hub, "hub", "checkpoints", fname)]
+    for cand in candidates:
+        if cand and os.path.exists(cand):
+            if cand.endswith(".npz"):
+                return from_augreg_npz(np.load(cand), cfg)
+            return from_torch_state_dict(_torch_load_state_dict(cand), cfg)
+    raise FileNotFoundError(
+        f"no local checkpoint for {model_name}; expected {fname!r} under "
+        "$TORCH_HOME/hub/checkpoints or pass an explicit path"
+    )
+
+
+# ---------------------------------------------------------------------------
+# QuantState serialization (first-class calibration artifact)
+# ---------------------------------------------------------------------------
+
+
+def save_quant_state(path: str, calib) -> None:
+    """Serialize a CalibResult (qstate + flops + distances) to one .npz."""
+    import jax
+
+    leaves, treedef = jax.tree_util.tree_flatten(
+        {"qstate": calib.qstate, "flops": jnp.asarray(calib.flops),
+         "global_distance": calib.global_distance}
+    )
+    np.savez(
+        path,
+        treedef=np.frombuffer(pickle.dumps(treedef), dtype=np.uint8),
+        **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)},
+    )
+
+
+def load_quant_state(path: str):
+    """Inverse of save_quant_state; returns a CalibResult."""
+    import jax
+    from .models.vit import CalibResult
+
+    data = np.load(path, allow_pickle=False)
+    treedef = pickle.loads(data["treedef"].tobytes())
+    n = sum(1 for k in data.files if k.startswith("leaf_"))
+    leaves = [jnp.asarray(data[f"leaf_{i}"]) for i in range(n)]
+    tree = jax.tree_util.tree_unflatten(treedef, leaves)
+    return CalibResult(
+        qstate=tree["qstate"],
+        flops=[int(f) for f in np.asarray(tree["flops"])],
+        global_distance=tree["global_distance"],
+    )

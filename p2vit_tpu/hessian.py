@@ -1,0 +1,101 @@
+"""Hessian sensitivity engine (Hutchinson trace via jvp-of-grad).
+
+TPU-native rebuild of pyhessian (/root/reference/pyhessian/hessian.py:36-289,
+utils.py:27-110). The reference runs one create_graph backward then, per
+parameter, up to 150 Rademacher probes of v^T H v with a 5e-3 relative
+tolerance (hessian.py:167-217). Here the Hessian-vector product is the
+forward-over-reverse ``jax.jvp(jax.grad(loss), ...)`` — one HVP yields Hv
+for ALL tracked weights simultaneously, so probes are batched across
+parameters (identical estimator, far fewer passes; the per-parameter
+early-stop is replaced by a fixed probe budget).
+
+Tracked parameters replicate get_params_grad's filter
+(/root/reference/pyhessian/utils.py:69-79): norm/bias/cls_token/pos_embed/
+patch_embed excluded → exactly the qkv/proj/fc1/fc2 weights of every block
+plus the head — 49 weights for depth-12, in global_distance order
+(test_quant.py:319 asserts the alignment).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .models.common import ViTConfig
+from .models import vit
+
+
+def tracked_weights(params) -> list:
+    """(path, array) list in bit_config order: per block qkv, proj, fc1,
+    fc2; then head. (Patch embed is excluded, matching the reference
+    filter.)"""
+    out = []
+    for i, blk in enumerate(params["blocks"]):
+        for name in ("qkv", "proj", "fc1", "fc2"):
+            out.append(((i, name), blk[name]["w"]))
+    out.append((("head", "head"), params["head"]["w"]))
+    return out
+
+
+def _with_weights(params, ws):
+    """Rebuild the params pytree with the tracked weights replaced."""
+    new = jax.tree.map(lambda a: a, params)  # shallow copy of structure
+    k = 0
+    for i in range(len(params["blocks"])):
+        for name in ("qkv", "proj", "fc1", "fc2"):
+            new["blocks"][i][name] = dict(new["blocks"][i][name], w=ws[k])
+            k += 1
+    new["head"] = dict(new["head"], w=ws[k])
+    return new
+
+
+def hessian_traces(
+    params,
+    cfg: ViTConfig,
+    x,
+    labels,
+    key,
+    n_probes: int = 16,
+) -> jnp.ndarray:
+    """Per-weight Hutchinson Hessian-trace estimates of the CE loss.
+
+    The loss is the fp forward + cross-entropy (the reference's criterion,
+    test_quant.py:148; smoothquant disabled during Hessian statistics,
+    vit_fquant.py:232 hessian_statistic=True — the fp path here is exactly
+    that graph). Returns [n_weights] traces (mean over probes of v^T H v).
+    """
+    ws = [w for _, w in tracked_weights(params)]
+
+    def loss_fn(ws_):
+        logits = vit.fp_forward(_with_weights(params, ws_), cfg, x)
+        logp = jax.nn.log_softmax(logits)
+        return -jnp.take_along_axis(logp, labels[:, None], axis=1).mean()
+
+    grad_fn = jax.grad(loss_fn)
+
+    def one_probe(k):
+        vs = [
+            jax.random.rademacher(kk, w.shape, dtype=w.dtype)
+            for kk, w in zip(jax.random.split(k, len(ws)), ws)
+        ]
+        _, hvs = jax.jvp(grad_fn, (ws,), (vs,))
+        return jnp.stack([jnp.vdot(v, hv) for v, hv in zip(vs, hvs)])
+
+    keys = jax.random.split(key, n_probes)
+    vthv = jax.lax.map(one_probe, keys)  # [n_probes, n_weights]
+    return vthv.mean(axis=0)
+
+
+def normalized_mean_hessian(trace_batches) -> list:
+    """abs → per-batch min-max normalize → mean across batches.
+
+    Mirrors the (commented-out but authoritative) live pipeline in the
+    reference driver (/root/reference/test_quant.py:184-201) that produced
+    the hardcoded mean_hessian tables (:207-257).
+    """
+    norm = []
+    for tr in trace_batches:
+        tr = jnp.abs(jnp.asarray(tr))
+        lo, hi = tr.min(), tr.max()
+        norm.append((tr - lo) / (hi - lo))
+    return [float(v) for v in jnp.stack(norm).mean(axis=0)]

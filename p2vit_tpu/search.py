@@ -1,0 +1,153 @@
+"""Mixed-precision bit allocation: Pareto-frontier sampling + evolutionary
+search.
+
+Rebuild of the reference driver's search (/root/reference/test_quant.py:
+316-463). The search itself is inherently sequential Python; every candidate
+evaluation calls a jitted validator whose bit config is a traced index
+vector, so NO recompilation happens across candidates (SURVEY §7).
+
+Layout invariants (test_quant.py:329-334): configs pair adjacent layers
+(qkv/proj share a bit, fc1/fc2 share a bit), patch-embed is pinned to
+max(bit_choice), head is free; the model-size proxy is Σ FLOPs[i]·bits[i]
+constrained to ≤ 1.1× the all-4-bit size (:323,336-338).
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Callable, Sequence
+
+import numpy as np
+
+BIT_CHOICE = (4, 8)
+
+
+def sample_bit_configs(
+    flops: Sequence[int],
+    rng: random.Random,
+    bit_choice=BIT_CHOICE,
+    max_configs: int = 51,
+    constraint_ratio: float = 1.1,
+) -> list:
+    """Random paired configs under the model-size constraint
+    (test_quant.py:322-341)."""
+    n = len(flops)
+    constraint = constraint_ratio * sum(f * 4 for f in flops)
+    out = []
+    for _ in range(2 ** (n - 1)):
+        body = [rng.choice(bit_choice) for _ in range(n // 2 - 1)]
+        cand = [max(bit_choice)] + [b for b in body for _ in range(2)] + [
+            rng.choice(bit_choice)
+        ]
+        size = sum(f * b for f, b in zip(flops, cand))
+        if size <= constraint and cand not in out:
+            out.append(cand)
+        if len(out) > max_configs - 1:
+            break
+    return out
+
+
+def omega(
+    bit_config: Sequence[int],
+    global_distance,
+    mean_hessian: Sequence[float],
+    bit_choice=BIT_CHOICE,
+) -> float:
+    """Ω(config) = Σ_i mean_hessian[i] · distance[i][k(bit_i)].
+
+    Reference quirk replicated: k is the index of the bit in bit_choice
+    (0 or 1), which indexes the 4-column distance rows at the uint3/uint4
+    entries — NOT at int4/int8 (/root/reference/test_quant.py:350-352; the
+    distance rows are [uint3, uint4, int4, int8] per
+    ptq/layers.py:178-201). The patch-embed slot (i=0) is skipped (:348).
+    """
+    gd = np.asarray(global_distance)
+    total = 0.0
+    for i, bit in enumerate(bit_config):
+        if i == 0:
+            continue
+        k = bit_choice.index(bit)
+        total += mean_hessian[i - 1] * float(gd[i - 1][k])
+    return total
+
+
+def pareto_front(
+    flops,
+    global_distance,
+    mean_hessian,
+    rng: random.Random,
+    bit_choice=BIT_CHOICE,
+    constraint_ratio: float = 1.1,
+) -> list:
+    """Sampled configs sorted by ascending Ω (test_quant.py:343-372)."""
+    configs = sample_bit_configs(
+        flops, rng, bit_choice, constraint_ratio=constraint_ratio
+    )
+    scored = [(c, omega(c, global_distance, mean_hessian, bit_choice)) for c in configs]
+    scored.sort(key=lambda t: t[1])
+    return scored
+
+
+def evolutionary_search(
+    validate_fn: Callable[[Sequence[int]], float],
+    seed_configs: list,
+    flops,
+    rng: random.Random,
+    bit_choice=BIT_CHOICE,
+    pop_size: int = 25,
+    evo_iter: int = 8,
+    mutate_size: int = 10,
+    mutate_prob: float = 0.5,
+    crossover_size: int = 10,
+    crossover_prob: float = 0.5,
+    constraint_ratio: float = 1.1,
+) -> list:
+    """Population search over bit configs (test_quant.py:393-462).
+
+    ``validate_fn(bit_config) -> top1`` is the (expensive) evaluator; the
+    reference runs a full ImageNet-val pass per candidate.
+
+    Deliberate fix vs. the reference: when a mutated/crossed config violates
+    the size constraint, the reference re-appends the PREVIOUS candidate's
+    stale accuracy under the new config (test_quant.py:420-426); here
+    violating candidates are skipped outright.
+    """
+    constraint = constraint_ratio * sum(f * 4 for f in flops)
+
+    def size_ok(cfg):
+        return sum(f * b for f, b in zip(flops, cfg)) <= constraint
+
+    population = [(list(c), validate_fn(c)) for c in seed_configs[:pop_size]]
+    population.sort(key=lambda t: t[1], reverse=True)
+
+    for _ in range(evo_iter):
+        children = []
+        seen: list = []
+        while len(seen) <= mutate_size:
+            old = rng.choice(population)[0]
+            new = [
+                b if rng.random() < mutate_prob else rng.choice(bit_choice)
+                for b in old
+            ]
+            if new not in seen:
+                seen.append(new)
+                if size_ok(new):
+                    children.append((new, validate_fn(new)))
+        seen = []
+        while len(seen) <= crossover_size:
+            p1, p2 = rng.choice(population)[0], rng.choice(population)[0]
+            if p1 == p2:
+                continue
+            new = [
+                b1 if rng.random() < crossover_prob else b2
+                for b1, b2 in zip(p1, p2)
+            ]
+            if new not in seen:
+                seen.append(new)
+                if size_ok(new):
+                    children.append((new, validate_fn(new)))
+        worst = population[-1][1]
+        population += [c for c in children if c[1] > worst]
+        population.sort(key=lambda t: t[1], reverse=True)
+        population = population[:pop_size]
+    return population

@@ -1,0 +1,272 @@
+#!/usr/bin/env python
+"""P²-ViT-TPU driver: PTQ calibration + (mixed-precision) ImageNet evaluation.
+
+CLI-compatible rebuild of /root/reference/test_quant.py:18-66:
+
+  python test_quant.py <arch> <data_dir> --quant --quant-method minmax
+  python test_quant.py deit_base <data_dir> --quant --mixed
+
+plus TPU-era extensions: --checkpoint (explicit local weights; no implicit
+downloads), --save-quant-state/--load-quant-state (calibration results are a
+first-class serializable artifact, unlike the reference which re-calibrates
+every run — SURVEY §5), --limit-val (smoke runs), --live-hessian (compute
+sensitivities on the fly instead of the reference's hardcoded tables,
+test_quant.py:207-257).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import random
+import time
+
+import numpy as np
+
+MODEL_CHOICES = [
+    "deit_tiny",
+    "deit_small",
+    "deit_base",
+    "vit_base",
+    "vit_large",
+    "swin_tiny",
+    "swin_small",
+    "swin_base",
+]
+
+# reference CLI name -> zoo key (test_quant.py:69-81)
+FULL_NAME = {
+    "deit_tiny": "deit_tiny_patch16_224",
+    "deit_small": "deit_small_patch16_224",
+    "deit_base": "deit_base_patch16_224",
+    "vit_base": "vit_base_patch16_224",
+    "vit_large": "vit_large_patch16_224",
+    "swin_tiny": "swin_tiny_patch4_window7_224",
+    "swin_small": "swin_small_patch4_window7_224",
+    "swin_base": "swin_base_patch4_window7_224",
+}
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="P2-ViT-TPU")
+    p.add_argument("model", choices=MODEL_CHOICES)
+    p.add_argument("data", metavar="DIR", help="dataset root (train/ + val/)")
+    p.add_argument("--quant", action="store_true")
+    p.add_argument("--ptf", default=True, type=bool)
+    p.add_argument("--lis", default=True, type=bool)
+    p.add_argument(
+        "--quant-method",
+        default="minmax",
+        choices=["minmax", "ema", "omse", "percentile"],
+    )
+    p.add_argument("--mixed", action="store_true", help="mixed-precision search")
+    p.add_argument("--calib-batchsize", default=100, type=int)
+    p.add_argument(
+        "--mode", default=0, type=int,
+        help="calibration data: 0 real, 1 gaussian noise, 2 data-free generated",
+    )
+    p.add_argument("--calib-iter", default=10, type=int)
+    p.add_argument("--val-batchsize", default=200, type=int)
+    p.add_argument("--num-workers", default=16, type=int, help="accepted for CLI parity")
+    p.add_argument("--device", default="tpu", type=str, help="informational; jax picks")
+    p.add_argument("--print-freq", default=100, type=int)
+    p.add_argument("--seed", default=0, type=int)
+    # TPU-era extensions
+    p.add_argument("--checkpoint", default=None, help="local pretrained weights path")
+    p.add_argument("--random-init", action="store_true", help="skip pretrained load")
+    p.add_argument("--save-quant-state", default=None, metavar="PATH.npz")
+    p.add_argument("--load-quant-state", default=None, metavar="PATH.npz")
+    p.add_argument("--limit-val", default=None, type=int, help="cap val batches")
+    p.add_argument("--live-hessian", action="store_true",
+                   help="compute Hessian traces instead of hardcoded tables")
+    p.add_argument("--hessian-batches", default=2, type=int)
+    return p
+
+
+class AverageMeter:
+    """test_quant.py:530-546."""
+
+    def __init__(self):
+        self.val = self.avg = self.sum = self.count = 0.0
+
+    def update(self, val, n=1):
+        self.val = val
+        self.sum += val * n
+        self.count += n
+        self.avg = self.sum / self.count
+
+
+def accuracy(logits, target, topk=(1,)):
+    """top-k accuracy in percent (test_quant.py:549-562)."""
+    logits = np.asarray(logits)
+    target = np.asarray(target)
+    maxk = max(topk)
+    pred = np.argsort(-logits, axis=1)[:, :maxk]
+    correct = pred == target[:, None]
+    return [100.0 * correct[:, :k].any(axis=1).mean() for k in topk]
+
+
+def main():
+    args = build_parser().parse_args()
+    random.seed(args.seed)
+    np.random.seed(args.seed)
+
+    import jax
+    import jax.numpy as jnp
+
+    from p2vit_tpu import checkpoints, data, search
+    from p2vit_tpu.config import make_policy
+    from p2vit_tpu.models import MODEL_ZOO, PREPROCESS
+    from p2vit_tpu.models import vit
+
+    name = FULL_NAME[args.model]
+    if name not in MODEL_ZOO:
+        raise NotImplementedError(f"{name} not yet in the TPU zoo")
+    cfg = MODEL_ZOO[name]
+    policy = make_policy(args.ptf, args.lis, args.quant_method)
+
+    if args.random_init:
+        params = vit.init_params(jax.random.PRNGKey(args.seed), cfg)
+        print("WARNING: random init (no pretrained weights)")
+    else:
+        params = checkpoints.load_pretrained(name, cfg, args.checkpoint)
+
+    pp = PREPROCESS[args.model.split("_")[0]]
+    tf = data.build_transform(cfg.img_size, pp["mean"], pp["std"], pp["crop_pct"])
+
+    calib = None
+    if args.quant:
+        if args.load_quant_state:
+            calib = checkpoints.load_quant_state(args.load_quant_state)
+            print(f"Loaded quantization state from {args.load_quant_state}")
+        else:
+            if args.mode == 1:
+                print("Calibrating with Gaussian noise...")
+                cal = np.asarray(
+                    jax.random.normal(
+                        jax.random.PRNGKey(args.seed),
+                        (args.calib_batchsize, 3, cfg.img_size, cfg.img_size),
+                    )
+                )
+            elif args.mode == 2:
+                print("Generating data...")
+                from p2vit_tpu.datafree import generate_data
+
+                cal = np.asarray(
+                    generate_data(params, cfg, batch_size=args.calib_batchsize,
+                                  seed=args.seed)
+                )
+                print("Calibrating with generated data...")
+            else:
+                print("Calibrating with real data...")
+                train = data.ImageFolder(f"{args.data}/train", tf)
+                it = data.iterate_batches(
+                    train, args.calib_batchsize, shuffle=True, seed=args.seed,
+                    drop_last=True,
+                )
+                # the reference collects calib-iter batches but calibrates on
+                # the first only (test_quant.py:285-307)
+                cal, _ = next(it)
+            calib = vit.calibrate(params, cfg, policy, jnp.asarray(cal))
+            if args.save_quant_state:
+                checkpoints.save_quant_state(args.save_quant_state, calib)
+                print(f"Saved quantization state to {args.save_quant_state}")
+
+    val = data.ImageFolder(f"{args.data}/val", tf)
+
+    if args.quant:
+        fwd = jax.jit(
+            lambda p, q, x, bi: vit.quant_forward(p, q, cfg, policy, x, bi)
+        )
+
+        def model_fn(x, bit_config):
+            return fwd(params, calib.qstate, x, vit.bits_to_idx(bit_config))
+    else:
+        fp = jax.jit(lambda p, x: vit.fp_forward(p, cfg, x))
+
+        def model_fn(x, bit_config):
+            return fp(params, x)
+
+    def validate(bit_config):
+        batch_time, top1, top5 = AverageMeter(), AverageMeter(), AverageMeter()
+        end = time.time()
+        for i, (imgs, targets) in enumerate(
+            data.iterate_batches(val, args.val_batchsize)
+        ):
+            if args.limit_val is not None and i >= args.limit_val:
+                break
+            logits = model_fn(jnp.asarray(imgs), bit_config)
+            p1, p5 = accuracy(logits, targets, topk=(1, 5))
+            top1.update(p1, len(targets))
+            top5.update(p5, len(targets))
+            batch_time.update(time.time() - end)
+            end = time.time()
+            if i % args.print_freq == 0:
+                print(
+                    f"Test: [{i}]\tTime {batch_time.val:.3f} ({batch_time.avg:.3f})"
+                    f"\tPrec@1 {top1.val:.3f} ({top1.avg:.3f})"
+                    f"\tPrec@5 {top5.val:.3f} ({top5.avg:.3f})"
+                )
+        print(f" * Prec@1 {top1.avg:.3f} Prec@5 {top5.avg:.3f}")
+        return top1.avg, top5.avg
+
+    if args.mixed:
+        assert args.quant, "--mixed requires --quant"
+        n = cfg.num_matmuls
+        if args.live_hessian:
+            from p2vit_tpu.hessian import hessian_traces, normalized_mean_hessian
+
+            print("Calculating sensitivities via the averaged Hessian trace...")
+            train = data.ImageFolder(f"{args.data}/train", tf)
+            traces = []
+            for i, (imgs, targets) in enumerate(
+                data.iterate_batches(train, args.calib_batchsize, shuffle=True,
+                                     seed=args.seed + 1, drop_last=True)
+            ):
+                if i >= args.hessian_batches:
+                    break
+                traces.append(
+                    hessian_traces(
+                        params, cfg, jnp.asarray(imgs), jnp.asarray(targets),
+                        jax.random.PRNGKey(args.seed + i),
+                    )
+                )
+            mean_hessian = normalized_mean_hessian(traces)
+        else:
+            from p2vit_tpu.hessian_tables import MEAN_HESSIAN
+
+            if args.model not in MEAN_HESSIAN:
+                raise SystemExit(
+                    f"no hardcoded Hessian table for {args.model}; use --live-hessian"
+                )
+            mean_hessian = MEAN_HESSIAN[args.model]
+        assert len(calib.flops) - 1 == len(calib.global_distance) == len(mean_hessian)
+
+        print("Pareto Frontier.......")
+        rng = random.Random(args.seed)
+        front = search.pareto_front(
+            calib.flops, calib.global_distance, mean_hessian, rng
+        )
+        print("Hessian-Based Validating...")
+        for cfg_bits, om in front[:5]:
+            print(cfg_bits)
+            validate(cfg_bits)
+
+        print("Start Evolutionary.......")
+        result = search.evolutionary_search(
+            lambda bc: validate(bc)[0],
+            [c for c, _ in front],
+            calib.flops,
+            rng,
+        )
+        print("Best mixed-precision configs:")
+        for cfg_bits, prec1 in result[:5]:
+            print(json.dumps({"bit_config": cfg_bits, "prec1": prec1}))
+    else:
+        bit_config = [4] * cfg.num_matmuls
+        print(bit_config)
+        validate(bit_config)
+
+
+if __name__ == "__main__":
+    main()

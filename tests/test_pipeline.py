@@ -1,0 +1,168 @@
+"""Tests: data pipeline, quant-state serialization, hessian, search,
+data-free generation (tiny shapes, CPU)."""
+
+import os
+import random
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from p2vit_tpu import checkpoints, data, search
+from p2vit_tpu.config import make_policy
+from p2vit_tpu.models.common import ViTConfig, vit_flops
+from p2vit_tpu.models import vit
+
+TINY = ViTConfig(
+    img_size=32, patch_size=8, num_classes=10, embed_dim=16, depth=2, num_heads=2
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    params = vit.init_params(jax.random.PRNGKey(0), TINY)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 3, 32, 32))
+    return params, x
+
+
+@pytest.fixture(scope="module")
+def image_folder(tmp_path_factory):
+    """Synthetic 2-class ImageFolder with train/ and val/ splits."""
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("imgnet")
+    rng = np.random.RandomState(0)
+    for split in ("train", "val"):
+        for cls in ("n01", "n02"):
+            d = root / split / cls
+            d.mkdir(parents=True)
+            for i in range(6):
+                arr = rng.randint(0, 255, (48, 56, 3), dtype=np.uint8)
+                Image.fromarray(arr).save(d / f"img_{i}.png")
+    return str(root)
+
+
+def test_image_folder_and_transform(image_folder):
+    tf = data.build_transform(img_size=32, crop_pct=0.875)
+    ds = data.ImageFolder(os.path.join(image_folder, "val"), tf)
+    assert len(ds) == 12
+    assert ds.classes == ["n01", "n02"]
+    img, target = ds[0]
+    assert img.shape == (3, 32, 32)
+    assert target == 0
+    batches = list(data.iterate_batches(ds, 5))
+    assert [b[0].shape[0] for b in batches] == [5, 5, 2]
+    assert batches[0][0].dtype == np.float32
+
+
+def test_quant_state_roundtrip(tmp_path, tiny_model):
+    params, x = tiny_model
+    policy = make_policy()
+    calib = vit.calibrate(params, TINY, policy, x)
+    path = str(tmp_path / "qstate.npz")
+    checkpoints.save_quant_state(path, calib)
+    loaded = checkpoints.load_quant_state(path)
+    assert loaded.flops == calib.flops
+    np.testing.assert_allclose(
+        loaded.global_distance, calib.global_distance, rtol=1e-6
+    )
+    # bit-exact quantization decisions survive the roundtrip
+    l1 = jax.tree_util.tree_leaves(calib.qstate)
+    l2 = jax.tree_util.tree_leaves(loaded.qstate)
+    for a, b in zip(l1, l2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    bit_idx = vit.bits_to_idx([8] * TINY.num_matmuls)
+    out1 = vit.quant_forward(params, calib.qstate, TINY, policy, x, bit_idx)
+    out2 = vit.quant_forward(params, loaded.qstate, TINY, policy, x, bit_idx)
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+
+
+def test_torch_state_dict_roundtrip(tiny_model):
+    """params -> torch-style state_dict -> params is the identity."""
+    params, _ = tiny_model
+    sd = {
+        "cls_token": np.asarray(params["cls_token"]),
+        "pos_embed": np.asarray(params["pos_embed"]),
+        "patch_embed.proj.weight": np.asarray(params["patch_embed"]["w"]).reshape(
+            TINY.embed_dim, 3, 8, 8
+        ),
+        "patch_embed.proj.bias": np.asarray(params["patch_embed"]["b"]),
+        "norm.weight": np.asarray(params["norm"]["w"]),
+        "norm.bias": np.asarray(params["norm"]["b"]),
+        "head.weight": np.asarray(params["head"]["w"]),
+        "head.bias": np.asarray(params["head"]["b"]),
+    }
+    names = {"norm1": "norm1", "qkv": "attn.qkv", "proj": "attn.proj",
+             "norm2": "norm2", "fc1": "mlp.fc1", "fc2": "mlp.fc2"}
+    for i, blk in enumerate(params["blocks"]):
+        for ours, theirs in names.items():
+            sd[f"blocks.{i}.{theirs}.weight"] = np.asarray(blk[ours]["w"])
+            sd[f"blocks.{i}.{theirs}.bias"] = np.asarray(blk[ours]["b"])
+    re = checkpoints.from_torch_state_dict(sd, TINY)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(re)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_hessian_traces(tiny_model):
+    from p2vit_tpu.hessian import hessian_traces, normalized_mean_hessian
+
+    params, x = tiny_model
+    labels = jnp.asarray([0, 1, 2, 3])
+    tr = hessian_traces(params, TINY, x, labels, jax.random.PRNGKey(0), n_probes=4)
+    assert tr.shape == (4 * TINY.depth + 1,)
+    assert jnp.isfinite(tr).all()
+    mh = normalized_mean_hessian([tr, tr + 0.1])
+    assert len(mh) == 4 * TINY.depth + 1
+    assert all(0.0 <= v <= 1.0 for v in mh)
+
+
+def test_search_pareto_and_evolution():
+    flops = vit_flops(TINY)
+    n = len(flops)
+    rng = random.Random(0)
+    gd = np.abs(np.random.RandomState(0).randn(n - 1, 4))
+    mh = list(np.random.RandomState(1).rand(n - 1))
+    # the tiny geometry's patch matmul dominates FLOPs and is pinned to
+    # 8-bit, so the reference 1.1x-of-4-bit budget rejects everything;
+    # relax the ratio for the unit test
+    front = search.pareto_front(flops, gd, mh, rng, constraint_ratio=2.5)
+    assert front and front[0][1] <= front[-1][1]
+    for cfg_bits, _ in front:
+        assert len(cfg_bits) == n
+        assert cfg_bits[0] == 8  # patch pinned to max bit
+        # paired adjacent layers
+        assert all(cfg_bits[1 + 2 * i] == cfg_bits[2 + 2 * i] for i in range((n - 2) // 2))
+        size = sum(f * b for f, b in zip(flops, cfg_bits))
+        assert size <= 2.5 * sum(f * 4 for f in flops)
+
+    # evolutionary search against a deterministic surrogate accuracy
+    def surrogate(bits):
+        return -sum(bits)  # prefers all-4-bit
+
+    pop = search.evolutionary_search(
+        surrogate, [c for c, _ in front], flops, random.Random(0),
+        pop_size=4, evo_iter=2, mutate_size=3, crossover_size=3,
+        constraint_ratio=2.5,
+    )
+    assert len(pop) <= 4
+    assert pop[0][1] >= pop[-1][1]
+
+
+def test_datafree_generation(tiny_model):
+    from p2vit_tpu.datafree import generate_data
+
+    params, _ = tiny_model
+    img = generate_data(params, TINY, batch_size=2, seed=0, iterations_per_epoch=3)
+    assert img.shape == (2, 3, 32, 32)
+    assert jnp.isfinite(img).all()
+    # color clip keeps pixels in the un-normalized [0,1] range per channel
+    mean = np.array([0.485, 0.456, 0.406])
+    std = np.array([0.229, 0.224, 0.225])
+    for c in range(3):
+        ch = np.asarray(img[:, c])
+        assert ch.min() >= -mean[c] / std[c] - 1e-5
+        assert ch.max() <= (1 - mean[c]) / std[c] + 1e-5

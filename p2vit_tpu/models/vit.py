@@ -29,6 +29,7 @@ fc2 → qact2(PTF)} → residual → qact4(PTF)} → int-LN → [:,0] → qact2 
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any
 
 import jax
@@ -66,6 +67,12 @@ def bits_to_idx(bit_config) -> jnp.ndarray:
     """Map a reference-style bit_config list (e.g. [4]*50,
     test_quant.py:467) to the int32 index vector quant_forward consumes."""
     lut = {b: i for i, b in enumerate(EVAL_BIT_POOL)}
+    bad = sorted({int(b) for b in bit_config} - set(lut))
+    if bad:
+        raise ValueError(
+            f"unsupported bit widths {bad}: the calibrated per-bit caches "
+            f"cover {sorted(lut)} only (reference bit_pool, vit_fquant.py:38)"
+        )
     return jnp.array([lut[int(b)] for b in bit_config], dtype=jnp.int32)
 
 
@@ -210,19 +217,34 @@ def _smooth_calibrate(x, w, bias, alpha_pool, policy, distances):
     # break its length-49 assert (test_quant.py:319) so only the last row is
     # recorded here (identical when len(alpha_pool) == 1, the shipped value)
     distances.append(dist_last)
-    loss_mat = jnp.array(losses)  # [n_alpha, n_bits]
-    best = [int(jnp.argmin(loss_mat[:, j])) for j in range(N_EVAL_BITS)]
+    loss_mat = jnp.stack([jnp.stack(pb) for pb in losses])  # [n_alpha, n_bits]
+    # traced per-eval-bit argmin over the α pool (keeps calibrate jittable)
+    best = jnp.argmin(loss_mat, axis=0)  # [n_bits]
     state = {
-        "channel_scale": jnp.stack([cs_pool[i] for i in best]),
-        "qact0_scale": jnp.stack([jnp.asarray(act_s[i]) for i in best]),
-        "qact0_zp": jnp.stack([jnp.asarray(act_zp[i]) for i in best]),
-        "wscale": jnp.stack([wsc_pool[i] for i in best]),
+        "channel_scale": jnp.stack(cs_pool)[best],
+        "qact0_scale": jnp.stack([jnp.asarray(s) for s in act_s])[best],
+        "qact0_zp": jnp.stack([jnp.asarray(z) for z in act_zp])[best],
+        "wscale": jnp.stack(wsc_pool)[best],
     }
     return state, gt
 
 
 def calibrate(params, cfg: ViTConfig, policy: QuantPolicy, x) -> CalibResult:
     """One-batch calibration pass (stats + param solve, quant off).
+
+    JIT-compiled end to end (cfg/policy static, frozen dataclasses): the
+    whole PoT/PTF/smoothquant decision procedure — argmins included — runs
+    as one XLA program on device instead of thousands of eager op
+    dispatches. Returns a CalibResult whose qstate/distances are device
+    arrays.
+    """
+    qs, dists = _calibrate_jit(params, cfg, policy, x)
+    return CalibResult(qstate=qs, flops=vit_flops(cfg), global_distance=dists)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _calibrate_jit(params, cfg: ViTConfig, policy: QuantPolicy, x):
+    """Traced body of ``calibrate``.
 
     Follows the reference calibration forward (SURVEY §3.1) node for node;
     all activations flowing between nodes are the raw fp values (quant=False
@@ -338,9 +360,7 @@ def calibrate(params, cfg: ViTConfig, policy: QuantPolicy, x) -> CalibResult:
     x = linear(x, params["head"]["w"], params["head"]["b"])
     qs["act_out"] = _qact(a, x)
 
-    return CalibResult(
-        qstate=qs, flops=vit_flops(cfg), global_distance=jnp.stack(dists)
-    )
+    return qs, jnp.stack(dists)
 
 
 def synthetic_qstate(cfg: ViTConfig) -> dict:

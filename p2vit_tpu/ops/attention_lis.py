@@ -1,0 +1,172 @@
+"""Pallas TPU kernel: fused int8 attention with Log-Int-Softmax.
+
+One kernel per (batch·head): q@kᵀ int8→int32 → PoT requant to the attn
+quantizer's codes → I-BERT integer exp → log2-round to 4-bit log-domain
+attention (exact powers of two) → attn@v → PoT requant to the output
+quantizer's codes. The (N, N) attention matrix never leaves VMEM, and the
+log-domain attn@v is the TPU realization of the paper accelerator's
+shift-accumulate dataflow (SURVEY §7 'serving-path layout'): every attn
+weight is 2^-q, exactly representable in f32, so the MXU matmul is bit-exact
+to integer shift-accumulate.
+
+Integer-softmax math mirrors QIntSoftmax
+(/root/reference/models/ptq/layers.py:375-428); see quant/intops.py for the
+simulation twin these kernels are tested against.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_EXP_N = 32  # range-reduction steps (layers.py:402)
+_COEF = (0.35815147, 0.96963238, 1.0)  # int-exp polynomial (layers.py:387)
+
+
+def _int_exp(x_int, scale):
+    """I-BERT integer exp on quantizer codes (layers.py:398-410)."""
+    c0, c1, c2 = _COEF
+    x0_int = jnp.floor(-0.6931 / scale)
+    x_int = jnp.maximum(x_int, _EXP_N * x0_int)
+    q = jnp.floor(x_int / x0_int)
+    r = x_int - x0_int * q
+    b_int = jnp.floor((c1 / c0) / scale)
+    c_int = jnp.floor((c2 / c0) / scale**2)
+    poly = r * (r + b_int) + c_int
+    return jnp.maximum(jnp.floor(poly * 2.0 ** (_EXP_N - q)), 0.0)
+
+
+def _kernel(s_ref, q_ref, k_ref, v_ref, o_ref, *, n_valid, lis_bits, qmin, qmax):
+    rq, s_attn, ro = s_ref[0, 0], s_ref[0, 1], s_ref[0, 2]
+    qm = q_ref[0]
+    km = k_ref[0]
+    vm = v_ref[0]
+
+    acc = jax.lax.dot_general(
+        qm, km, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    # codes of the qact_attn1 node (PoT requant of the int32 scores)
+    attn_c = jnp.clip(jnp.round(acc.astype(jnp.float32) * rq), qmin, qmax)
+
+    # park padded key columns at qmin so they can't win the row max
+    col = jax.lax.broadcasted_iota(jnp.int32, attn_c.shape, 1)
+    attn_c = jnp.where(col < n_valid, attn_c, jnp.float32(qmin))
+
+    # Log-Int-Softmax on codes (x/scale of layers.py:412 is the code itself)
+    x_int = attn_c - attn_c.max(axis=-1, keepdims=True)
+    exp_int = _int_exp(x_int, s_attn)
+    # padded columns must contribute ZERO mass to the softmax sum (the
+    # range-reduced int_exp never underflows all the way to 0 on its own)
+    exp_int = jnp.where(col < n_valid, exp_int, 0.0)
+    exp_sum = exp_int.sum(axis=-1, keepdims=True)
+    softmax_out = jnp.round(exp_sum / jnp.maximum(exp_int, 1.0))
+    softmax_out = jnp.where(exp_int > 0, softmax_out, jnp.inf)
+    big = jnp.floor(jnp.log2(softmax_out))
+    big = big + ((softmax_out - 2.0**big) >= 2.0 ** (big - 1.0))
+    overflow = big >= 2.0**lis_bits
+    attn_pot = jnp.where(
+        overflow, 0.0, 2.0 ** (-jnp.clip(big, 0.0, 2.0**lis_bits - 1.0))
+    )
+
+    # shift-accumulate attn@v: powers of two × int8 codes, exact in f32
+    av = jax.lax.dot_general(
+        attn_pot,
+        vm.astype(jnp.float32),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0] = jnp.clip(jnp.round(av * ro), qmin, qmax).astype(jnp.int8)
+
+
+def _pad_axis(a, axis, mult):
+    pad = (-a.shape[axis]) % mult
+    if pad == 0:
+        return a
+    widths = [(0, 0)] * a.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(a, widths)
+
+
+@functools.partial(jax.jit, static_argnames=("lis_bits", "interpret"))
+def lis_attention(
+    q_q: jnp.ndarray,
+    k_q: jnp.ndarray,
+    v_q: jnp.ndarray,
+    score_requant: jnp.ndarray,
+    attn_scale: jnp.ndarray,
+    out_requant: jnp.ndarray,
+    lis_bits: int = 4,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused quantized attention.
+
+    Args:
+      q_q/k_q/v_q: (BH, N, d) int8 codes of the qact1 node.
+      score_requant: scalar f32 = s_qkv² · head_scale / s_attn.
+      attn_scale: scalar f32, the qact_attn1 quantizer scale (LIS input).
+      out_requant: scalar f32 = s_qkv / s_out (PoT).
+    Returns (BH, N, d) int8 codes of the qact2 node.
+    """
+    bh, n, d = q_q.shape
+    qp = _pad_axis(_pad_axis(q_q, 1, 128), 2, 128)
+    kp = _pad_axis(_pad_axis(k_q, 1, 128), 2, 128)
+    vp = _pad_axis(_pad_axis(v_q, 1, 128), 2, 128)
+    npad, dpad = qp.shape[1], qp.shape[2]
+    scalars = jnp.stack(
+        [
+            jnp.asarray(score_requant, jnp.float32),
+            jnp.asarray(attn_scale, jnp.float32),
+            jnp.asarray(out_requant, jnp.float32),
+        ]
+    ).reshape(1, 3)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel, n_valid=n, lis_bits=lis_bits, qmin=-128.0, qmax=127.0
+        ),
+        grid=(bh,),
+        in_specs=[
+            pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, npad, dpad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, npad, dpad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, npad, dpad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, npad, dpad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((bh, npad, dpad), jnp.int8),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * npad * npad * dpad,
+            bytes_accessed=4 * bh * npad * dpad,
+            transcendentals=2 * bh * npad * npad,
+        ),
+        interpret=interpret,
+    )(scalars, qp, kp, vp)
+    return out[:, :n, :d]
+
+
+def lis_attention_ref(
+    q_q, k_q, v_q, score_requant, attn_scale, out_requant, lis_bits=4
+):
+    """jnp reference twin (parity tests, CPU fallback)."""
+    acc = jnp.einsum(
+        "bnd,bmd->bnm", q_q.astype(jnp.int32), k_q.astype(jnp.int32)
+    ).astype(jnp.float32)
+    attn_c = jnp.clip(jnp.round(acc * score_requant), -128, 127)
+    x_int = attn_c - attn_c.max(axis=-1, keepdims=True)
+    exp_int = _int_exp(x_int, jnp.asarray(attn_scale, jnp.float32))
+    exp_sum = exp_int.sum(axis=-1, keepdims=True)
+    softmax_out = jnp.round(exp_sum / jnp.maximum(exp_int, 1.0))
+    softmax_out = jnp.where(exp_int > 0, softmax_out, jnp.inf)
+    big = jnp.floor(jnp.log2(softmax_out))
+    big = big + ((softmax_out - 2.0**big) >= 2.0 ** (big - 1.0))
+    overflow = big >= 2.0**lis_bits
+    attn_pot = jnp.where(
+        overflow, 0.0, 2.0 ** (-jnp.clip(big, 0.0, 2.0**lis_bits - 1.0))
+    )
+    av = jnp.einsum("bnm,bmd->bnd", attn_pot, v_q.astype(jnp.float32))
+    return jnp.clip(jnp.round(av * out_requant), -128, 127).astype(jnp.int8)

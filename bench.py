@@ -1,13 +1,15 @@
-"""Benchmark: quantized DeiT-Small serving throughput vs bf16 XLA baseline.
+"""Benchmark: int8 Pallas serving throughput vs bf16 XLA baseline (DeiT-S).
 
 Prints ONE JSON line:
-  {"metric": ..., "value": imgs/sec (quantized path), "unit": "img/s",
-   "vs_baseline": quantized / bf16-fp}
+  {"metric": ..., "value": imgs/sec (int8 serving path), "unit": "img/s",
+   "vs_baseline": int8 / bf16-fp}
 
-The quantized path is the W8A8-PoT forward (currently the fake-quant
-simulation graph; the Pallas int8 shift-requant kernels replace its hot ops
-as they land). Baseline is the same model's plain fp forward in bfloat16 —
-the "bf16 XLA on v5e" reference of BASELINE.json's north star.
+Paths measured on the single local chip:
+  * value          — the W8A8-PoT int8 serving pipeline (Pallas shift-requant
+    matmuls + fused Log-Int-Softmax attention, p2vit_tpu/serving.py)
+  * baseline       — the same model, plain fp forward in bfloat16 via XLA
+    (BASELINE.json's "bf16 XLA on v5e" target; north star is ≥2×)
+  * sim (extra)    — the fake-quant f32 simulation (search/eval path)
 """
 
 from __future__ import annotations
@@ -19,13 +21,22 @@ import jax
 import jax.numpy as jnp
 
 
-def _time_fn(fn, *args, warmup=3, iters=10):
-    for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+def _time_fn(step, x, iters=10):
+    """Time ``step(x) -> logits`` per iteration.
+
+    On the axon-tunneled TPU, ``jax.block_until_ready`` does not actually
+    synchronize, so naive timing reads queue-dispatch latency. Instead each
+    iteration's input is made data-dependent on the previous output (forcing
+    serial execution, defeating any result caching) and the final scalar is
+    fetched to the host once.
+    """
+    y = step(x)
+    float(y.sum())  # warmup + compile + one RTT
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        x = x + 0.0 * y.sum()  # serialize: input depends on previous logits
+        y = step(x)
+    float(y.sum())
     return (time.perf_counter() - t0) / iters
 
 
@@ -33,6 +44,7 @@ def main():
     from p2vit_tpu.config import make_policy
     from p2vit_tpu.models import VIT_ZOO
     from p2vit_tpu.models import vit
+    from p2vit_tpu import serving
 
     on_accel = jax.devices()[0].platform != "cpu"
     batch = 256 if on_accel else 8
@@ -41,28 +53,39 @@ def main():
 
     params = vit.init_params(jax.random.PRNGKey(0), cfg)
     qstate = vit.synthetic_qstate(cfg)
-    bit_idx = vit.bits_to_idx([8] * cfg.num_matmuls)
+    bit_config = [8] * cfg.num_matmuls
     x = jax.random.normal(jax.random.PRNGKey(1), (batch, 3, 224, 224), jnp.float32)
 
-    quant_fn = jax.jit(
-        lambda p, q, xx, bi: vit.quant_forward(p, q, cfg, policy, xx, bi)
+    # int8 serving path (Pallas on accelerator, jnp fallback on CPU)
+    sstate = serving.convert(params, qstate, cfg, policy, bit_config)
+    srv_fn = jax.jit(
+        lambda xx: serving.serving_forward(sstate, cfg, xx, use_pallas=on_accel)
     )
-    t_quant = _time_fn(quant_fn, params, qstate, x, bit_idx)
+    t_srv = _time_fn(srv_fn, x)
 
+    # bf16 fp baseline
     params_bf16 = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
-    fp_fn = jax.jit(lambda p, xx: vit.fp_forward(p, cfg, xx))
-    t_fp = _time_fn(fp_fn, params_bf16, x.astype(jnp.bfloat16))
+    fp_fn = jax.jit(lambda xx: vit.fp_forward(params_bf16, cfg, xx.astype(jnp.bfloat16)))
+    t_fp = _time_fn(fp_fn, x)
 
-    ips_quant = batch / t_quant
+    # fake-quant simulation (search-time eval path)
+    bit_idx = vit.bits_to_idx(bit_config)
+    quant_fn = jax.jit(
+        lambda xx: vit.quant_forward(params, qstate, cfg, policy, xx, bit_idx)
+    )
+    t_sim = _time_fn(quant_fn, x)
+
+    ips = batch / t_srv
     ips_fp = batch / t_fp
     print(
         json.dumps(
             {
-                "metric": "DeiT-S W8A8-PoT serving throughput (1 chip)",
-                "value": round(ips_quant, 2),
+                "metric": "DeiT-S W8A8-PoT int8 serving throughput (1 chip)",
+                "value": round(ips, 2),
                 "unit": "img/s",
-                "vs_baseline": round(ips_quant / ips_fp, 4),
+                "vs_baseline": round(ips / ips_fp, 4),
                 "baseline_bf16_img_s": round(ips_fp, 2),
+                "sim_img_s": round(batch / t_sim, 2),
                 "batch": batch,
                 "platform": jax.devices()[0].platform,
             }

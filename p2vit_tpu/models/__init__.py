@@ -10,6 +10,8 @@ from __future__ import annotations
 
 from .common import ViTConfig, vit_flops
 from . import vit
+from .swin import SwinConfig
+from . import swin
 
 # Architecture hyperparameters per constructor (vit_fquant.py:942-1074).
 VIT_ZOO = {
@@ -20,7 +22,20 @@ VIT_ZOO = {
     "vit_large_patch16_224": ViTConfig(embed_dim=1024, depth=24, num_heads=16),
 }
 
-MODEL_ZOO = dict(VIT_ZOO)
+# Swin constructors (swin_quant.py:917-995).
+SWIN_ZOO = {
+    "swin_tiny_patch4_window7_224": SwinConfig(
+        embed_dim=96, depths=(2, 2, 6, 2), num_heads=(3, 6, 12, 24)
+    ),
+    "swin_small_patch4_window7_224": SwinConfig(
+        embed_dim=96, depths=(2, 2, 18, 2), num_heads=(3, 6, 12, 24)
+    ),
+    "swin_base_patch4_window7_224": SwinConfig(
+        embed_dim=128, depths=(2, 2, 18, 2), num_heads=(4, 8, 16, 32)
+    ),
+}
+
+MODEL_ZOO = {**VIT_ZOO, **SWIN_ZOO}
 
 # Per-family preprocessing (test_quant.py:112-127).
 PREPROCESS = {

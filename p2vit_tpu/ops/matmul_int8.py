@@ -8,6 +8,13 @@ accumulator never round-trips to HBM and no fp rescale op exists between
 layers (BASELINE.json north star; the reference has no kernel code — its
 accelerator exists only in the paper, SURVEY §0).
 
+Epilogues:
+  * plain:  out = clip(round(acc·r + b))            (r = s_x·s_w/s_out)
+  * gelu:   out = clip(round(gelu(acc·r + b)·inv))  (r = s_x·s_w, inv = 1/s_out)
+    — the fc1→GELU→qact1 fusion of the MLP (the fp GELU runs on the exact
+    dequantized accumulator, matching the simulation path's semantics,
+    /root/reference/models/layers_quant.py:373-375).
+
 MXU mapping: int8 × int8 → int32 accumulation, 128-aligned tiles, one
 (BM, BN) output tile per grid step with the full K panel resident in VMEM
 (ViT K ≤ 4096 → ≤ 2 MB per operand tile at BM=BN=256).
@@ -23,7 +30,29 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(x_ref, w_ref, r_ref, b_ref, o_ref, *, qmin, qmax):
+def _erf(x):
+    """erf via Abramowitz & Stegun 7.1.26 (|err| ≤ 1.5e-7).
+
+    Pallas TPU has no erf lowering; this rational+exp form matches f32 libm
+    erf to its own accuracy, so GELU codes differ from the erf-GELU
+    simulation only at exact rounding knife-edges.
+    """
+    a1, a2, a3, a4, a5 = (
+        0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429
+    )
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _gelu_exact(y):
+    # erf-based GELU (torch nn.GELU default, not the tanh approximation)
+    return 0.5 * y * (1.0 + _erf(y * jnp.float32(0.7071067811865476)))
+
+
+def _kernel(s_ref, x_ref, w_ref, r_ref, b_ref, o_ref, *, qmin, qmax, gelu):
     acc = jax.lax.dot_general(
         x_ref[:],
         w_ref[:],
@@ -33,6 +62,8 @@ def _kernel(x_ref, w_ref, r_ref, b_ref, o_ref, *, qmin, qmax):
     # PoT requant: exact multiply by 2^k (bit-shift in silicon) + prescaled
     # bias, round-half-even like the simulation path
     y = acc.astype(jnp.float32) * r_ref[:] + b_ref[:]
+    if gelu:
+        y = _gelu_exact(y) * s_ref[0, 0]
     o_ref[:] = jnp.clip(jnp.round(y), qmin, qmax).astype(jnp.int8)
 
 
@@ -46,26 +77,31 @@ def _pad_to(a, axis, mult):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("qmin", "qmax", "block_m", "block_n", "interpret")
+    jax.jit,
+    static_argnames=("qmin", "qmax", "gelu", "block_m", "block_n", "interpret"),
 )
 def int8_matmul_requant(
     x_q: jnp.ndarray,
     w_q: jnp.ndarray,
     requant_scale: jnp.ndarray,
     bias_scaled: jnp.ndarray,
+    out_inv=1.0,
     qmin: int = -128,
     qmax: int = 127,
+    gelu: bool = False,
     block_m: int = 256,
     block_n: int = 256,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """out_q[m,n] = clip(round(Σ_k x_q·w_q · requant[n] + bias[n]))
+    """out_q = clip(round(epilogue(Σ_k x_q·w_q · requant[n] + bias[n])))
 
     Args:
       x_q: (M, K) int8 activation codes.
       w_q: (N, K) int8 weight codes (torch (out, in) layout).
-      requant_scale: (N,) f32, = s_x·s_w[n]/s_out — exact powers of two.
-      bias_scaled: (N,) f32, = bias[n]/s_out.
+      requant_scale: (N,) f32. Plain: s_x·s_w[n]/s_out (powers of two).
+        GELU epilogue: s_x·s_w[n] (dequant only).
+      bias_scaled: (N,) f32. Plain: bias/s_out; GELU: bias.
+      out_inv: scalar f32, 1/s_out — used by the GELU epilogue.
       qmin/qmax: output clamp (the consumer activation node's bounds).
     Returns (M, N) int8 codes of the consumer activation node.
     """
@@ -75,12 +111,14 @@ def int8_matmul_requant(
     w_p = _pad_to(w_q, 0, block_n)
     r_p = _pad_to(requant_scale.astype(jnp.float32), 0, block_n).reshape(1, -1)
     b_p = _pad_to(bias_scaled.astype(jnp.float32), 0, block_n).reshape(1, -1)
+    s = jnp.asarray(out_inv, jnp.float32).reshape(1, 1)
     mp, np_ = x_p.shape[0], w_p.shape[0]
 
     out = pl.pallas_call(
-        functools.partial(_kernel, qmin=qmin, qmax=qmax),
+        functools.partial(_kernel, qmin=qmin, qmax=qmax, gelu=gelu),
         grid=(mp // block_m, np_ // block_n),
         in_specs=[
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((block_m, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((block_n, k), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_n), lambda i, j: (0, j), memory_space=pltpu.VMEM),
@@ -91,18 +129,24 @@ def int8_matmul_requant(
         ),
         out_shape=jax.ShapeDtypeStruct((mp, np_), jnp.int8),
         cost_estimate=pl.CostEstimate(
-            flops=2 * mp * np_ * k, bytes_accessed=mp * k + np_ * k + mp * np_,
-            transcendentals=0,
+            flops=2 * mp * np_ * k,
+            bytes_accessed=mp * k + np_ * k + mp * np_,
+            transcendentals=mp * np_ if gelu else 0,
         ),
         interpret=interpret,
-    )(x_p, w_p, r_p, b_p)
+    )(s, x_p, w_p, r_p, b_p)
     return out[:m, :n]
 
 
-def int8_matmul_requant_ref(x_q, w_q, requant_scale, bias_scaled, qmin=-128, qmax=127):
+def int8_matmul_requant_ref(
+    x_q, w_q, requant_scale, bias_scaled, out_inv=1.0, qmin=-128, qmax=127,
+    gelu=False,
+):
     """jnp reference (for kernel parity tests and CPU fallback)."""
     acc = jax.lax.dot_general(
         x_q, w_q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
     )
     y = acc.astype(jnp.float32) * requant_scale[None, :] + bias_scaled[None, :]
+    if gelu:
+        y = _gelu_exact(y) * jnp.asarray(out_inv, jnp.float32)
     return jnp.clip(jnp.round(y), qmin, qmax).astype(jnp.int8)

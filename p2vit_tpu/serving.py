@@ -1,0 +1,281 @@
+"""Int8 serving pipeline: run the calibrated ViT on integer codes.
+
+The production counterpart of the fake-quant simulation in models/vit.py.
+``convert`` specializes (params, QuantState, bit_config) into a
+``ServingState`` of int8 weight codes + fused requant constants;
+``serving_forward`` then runs the network with:
+
+  * activations carried as int8 codes end to end,
+  * Pallas int8 MXU matmuls with the PoT shift-requant (and fc1-GELU)
+    epilogues (ops/matmul_int8.py),
+  * the fused Log-Int-Softmax attention kernel (ops/attention_lis.py),
+  * integer LayerNorm evaluated directly on codes (the M·2^-N multiply-shift
+    of QIntLayerNorm, /root/reference/models/ptq/layers.py:294-337),
+  * residual requantization as code arithmetic.
+
+Numerics: every inter-layer scale the PoT search produces is a power of
+two, so requant multiplies are exact shifts; the int32 accumulators are
+EXACT where the f32 simulation rounds (K > 2^24/127² terms), so serving
+output can differ from the simulation at round-to-nearest boundaries only.
+Parity is asserted statistically in tests (argmax agreement + small relative
+error), not bitwise.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import QuantPolicy
+from .models.common import ViTConfig, extract_patches
+from .ops.attention_lis import lis_attention, lis_attention_ref
+from .ops.matmul_int8 import int8_matmul_requant, int8_matmul_requant_ref
+from .quant.intops import get_mn
+
+_I8 = (-128, 127)
+
+
+def _wcodes(w, scale, qmin, qmax):
+    """Weight → int8 codes under a per-out-channel PoT scale."""
+    return jnp.clip(jnp.round(w / scale[:, None]), qmin, qmax).astype(jnp.int8)
+
+
+def _bit_bounds(bit):
+    return (-8, 7) if bit == 4 else (-128, 127)
+
+
+def convert(params, qstate, cfg: ViTConfig, policy: QuantPolicy, bit_config) -> dict:
+    """Specialize calibrated state to a fixed bit_config for serving.
+
+    The simulation path keeps the bit choice traced (search-time); serving
+    freezes it (deploy-time), mirroring how the reference's accelerator
+    would be programmed per searched config.
+    """
+    assert policy.int_softmax and policy.int_norm, (
+        "the int8 serving path realizes the LIS+PTF pipeline; run the "
+        "simulation path for ablations without them"
+    )
+    bits = [int(b) for b in bit_config]
+    n_idx = {4: 0, 8: 1}
+
+    def smooth_layer(state, w, b, bit, s_in_next):
+        """qkv/fc1-style layer with cached per-bit smoothquant."""
+        j = n_idx[bit]
+        cs = state["channel_scale"][j]
+        sw = state["wscale"][j][2 + j]
+        qmin, qmax = _bit_bounds(bit)
+        return {
+            "w_q": _wcodes(w * cs[None, :], sw, qmin, qmax),
+            "sw": sw,
+            "s_act": state["qact0_scale"][j],
+            "cs": cs,
+            "bias": b,
+        }
+
+    def plain_layer(wscale_dic, w, b, bit):
+        j = n_idx[bit]
+        sw = wscale_dic[2 + j]
+        qmin, qmax = _bit_bounds(bit)
+        return {"w_q": _wcodes(w, sw, qmin, qmax), "sw": sw, "bias": b}
+
+    s: dict = {"s_input": qstate["qact_input"]["scale"]}
+    # patch embed
+    pb = bits[0]
+    s["patch"] = plain_layer(
+        qstate["patch"]["wscale"], params["patch_embed"]["w"],
+        params["patch_embed"]["b"], pb,
+    )
+    s["patch"]["s_out"] = qstate["patch"]["qact"]["scale"]
+    s2 = qstate["qact_embed"]["scale"]
+    s["cls_codes"] = jnp.clip(
+        jnp.round(params["cls_token"] / s2), *_I8
+    ).astype(jnp.int8)
+    s["s_embed"] = s2
+    sp = qstate["qact_pos"]["scale"]
+    s["pos_codes"] = jnp.clip(jnp.round(params["pos_embed"] / sp), *_I8)
+    s["s_pos"] = sp
+    s["s_qact1"] = qstate["qact1"]["scale"]
+
+    s["blocks"] = []
+    for i, blk in enumerate(params["blocks"]):
+        bq = qstate["blocks"][i]
+        aq, mq = bq["attn"], bq["mlp"]
+        b_qkv, b_proj, b_fc1, b_fc2 = bits[1 + 4 * i : 5 + 4 * i]
+        jq, jm = n_idx[b_qkv], n_idx[b_fc1]
+        sb = {
+            "norm1_w": blk["norm1"]["w"], "norm1_b": blk["norm1"]["b"],
+            "norm2_w": blk["norm2"]["w"], "norm2_b": blk["norm2"]["b"],
+            "qkv": smooth_layer(aq, blk["qkv"]["w"], blk["qkv"]["b"], b_qkv, None),
+            "s_qact1": aq["qact1"]["scale"],
+            "s_attn1": aq["qact_attn1"]["scale"],
+            "s_qact2a": aq["qact2"]["scale"],
+            "proj": plain_layer(aq["proj_wscale"], blk["proj"]["w"], blk["proj"]["b"], b_proj),
+            "s_qact3": aq["qact3"]["scale"],
+            "s_res1": bq["qact2"]["scale"],
+            "mlp_fc1": smooth_layer(mq, blk["fc1"]["w"], blk["fc1"]["b"], b_fc1, None),
+            "s_mq1": mq["qact1"]["scale"],
+            "fc2": plain_layer(mq["fc2_wscale"], blk["fc2"]["w"], blk["fc2"]["b"], b_fc2),
+            "s_mq2": mq["qact2"]["scale"],
+            "s_res2": bq["qact4"]["scale"],
+        }
+        # norm2 out_quantizer_scale quirk (see models/vit.py quant_forward)
+        cs_m = mq["channel_scale"][jm]
+        norm2_cs = aq["channel_scale"][jq] if policy.norm2_attn_channel_scale_compat else cs_m
+        sb["norm2_cs"] = norm2_cs
+        sb["norm2_ratio"] = norm2_cs / cs_m
+        s["blocks"].append(sb)
+    s["norm_w"] = params["norm"]["w"]
+    s["norm_b"] = params["norm"]["b"]
+    s["s_qact2"] = qstate["qact2"]["scale"]
+    s["head"] = plain_layer(qstate["head_wscale"], params["head"]["w"],
+                            params["head"]["b"], bits[-1])
+    s["s_out"] = qstate["act_out"]["scale"]
+    s["bits"] = tuple(bits)
+    return s
+
+
+def _int_ln_codes(c_in, s_in, w, b, out_scale, ratio):
+    """Integer LayerNorm on codes → codes of the consumer node.
+
+    The code-domain form of quant/intops.int_layernorm: the producer's codes
+    arrive directly (no round(x/in_scale) needed), the M·2^-N epilogue lands
+    on the consumer's scale, and ``ratio`` folds any smoothquant mismatch
+    (norm2 quirk) before the final clip.
+    """
+    c = c_in.shape[-1]
+    x_q = c_in.astype(jnp.float32)
+    s_in = jnp.broadcast_to(jnp.asarray(s_in, jnp.float32), (c,))
+    s1 = s_in.min()
+    mask = jnp.round(s_in / s1)
+    x_q = x_q * mask
+    mean = x_q.mean(axis=-1) * s1
+    std = (s1 / c) * jnp.sqrt(c * (x_q**2).sum(axis=-1) - x_q.sum(axis=-1) ** 2)
+    a = (s1 / std)[..., None] * w / out_scale
+    a_sign = jnp.sign(a)
+    m, n = get_mn(jnp.abs(a))
+    bb = jnp.round((b - (mean / std)[..., None] * w) / out_scale * 2.0**n)
+    x_q = jnp.round((a_sign * m * x_q + bb) / 2.0**n)
+    return jnp.clip(jnp.round(x_q * ratio), *_I8).astype(jnp.int8)
+
+
+def _requant_add(c_a, s_a, c_b, s_b, s_out):
+    """codes of fq(a_val + b_val, s_out) — same f32 association as the
+    simulation (sum of values, then divide)."""
+    val = c_a.astype(jnp.float32) * s_a + c_b.astype(jnp.float32) * s_b
+    return jnp.clip(jnp.round(val / s_out), *_I8).astype(jnp.int8)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret", "use_pallas"))
+def serving_forward(s, cfg: ViTConfig, x, interpret: bool = False,
+                    use_pallas: bool = True):
+    """Run the int8 pipeline on a f32 image batch; returns f32 logits."""
+    mm = int8_matmul_requant if use_pallas else int8_matmul_requant_ref
+    attn_fn = lis_attention if use_pallas else lis_attention_ref
+    mm_kw = {"interpret": interpret} if use_pallas else {}
+    at_kw = {"interpret": interpret} if use_pallas else {}
+
+    b = x.shape[0]
+    c = cfg.embed_dim
+    n_tok = cfg.seq_len
+    c0 = jnp.clip(jnp.round(x / s["s_input"]), *_I8).astype(jnp.int8)
+    patches = extract_patches(c0, cfg.patch_size)  # int8 codes, reordered only
+
+    p = s["patch"]
+    c1 = mm(
+        patches.reshape(-1, patches.shape[-1]),
+        p["w_q"],
+        s["s_input"] * p["sw"] / p["s_out"],
+        p["bias"] / p["s_out"],
+        **mm_kw,
+    ).reshape(b, -1, c)
+
+    # [cls; patches] at the embed scale, + positional codes, → qact1 codes
+    c_cls = jnp.broadcast_to(s["cls_codes"], (b, 1, c))
+    c1 = jnp.clip(jnp.round(c1.astype(jnp.float32) * (p["s_out"] / s["s_embed"])), *_I8)
+    xc = jnp.concatenate([c_cls.astype(jnp.float32), c1], axis=1)
+    val = xc * s["s_embed"] + s["pos_codes"] * s["s_pos"]
+    xc = jnp.clip(jnp.round(val / s["s_qact1"]), *_I8).astype(jnp.int8)
+
+    s_prev = s["s_qact1"]
+    for sb in s["blocks"]:
+        qkv = sb["qkv"]
+        # int-LN1 → qact0 codes (smoothing division folded into out_scale)
+        h = _int_ln_codes(
+            xc, s_prev, sb["norm1_w"], sb["norm1_b"],
+            qkv["s_act"] * qkv["cs"], 1.0,
+        )
+        h2 = mm(
+            h.reshape(-1, c),
+            qkv["w_q"],
+            qkv["s_act"] * qkv["sw"] / sb["s_qact1"],
+            qkv["bias"] / sb["s_qact1"],
+            **mm_kw,
+        ).reshape(b, n_tok, 3 * c)
+        # split heads on codes
+        hd = cfg.head_dim
+        qkv_c = h2.reshape(b, n_tok, 3, cfg.num_heads, hd).transpose(2, 0, 3, 1, 4)
+        qh = qkv_c[0].reshape(b * cfg.num_heads, n_tok, hd)
+        kh = qkv_c[1].reshape(b * cfg.num_heads, n_tok, hd)
+        vh = qkv_c[2].reshape(b * cfg.num_heads, n_tok, hd)
+        av = attn_fn(
+            qh, kh, vh,
+            sb["s_qact1"] ** 2 * cfg.attn_scale / sb["s_attn1"],
+            sb["s_attn1"],
+            sb["s_qact1"] / sb["s_qact2a"],
+            **at_kw,
+        )
+        h = (
+            av.reshape(b, cfg.num_heads, n_tok, hd)
+            .transpose(0, 2, 1, 3)
+            .reshape(b, n_tok, c)
+        )
+        pr = sb["proj"]
+        h = mm(
+            h.reshape(-1, c),
+            pr["w_q"],
+            sb["s_qact2a"] * pr["sw"] / sb["s_qact3"],
+            pr["bias"] / sb["s_qact3"],
+            **mm_kw,
+        ).reshape(b, n_tok, c)
+        xc = _requant_add(xc, s_prev, h, sb["s_qact3"], sb["s_res1"])
+
+        fc1 = sb["mlp_fc1"]
+        h = _int_ln_codes(
+            xc, sb["s_res1"], sb["norm2_w"], sb["norm2_b"],
+            fc1["s_act"] * sb["norm2_cs"], sb["norm2_ratio"],
+        )
+        h = mm(
+            h.reshape(-1, c),
+            fc1["w_q"],
+            fc1["s_act"] * fc1["sw"],
+            fc1["bias"],
+            out_inv=1.0 / sb["s_mq1"],
+            gelu=True,
+            **mm_kw,
+        )
+        fc2 = sb["fc2"]
+        h = mm(
+            h,
+            fc2["w_q"],
+            sb["s_mq1"] * fc2["sw"] / sb["s_mq2"],
+            fc2["bias"] / sb["s_mq2"],
+            **mm_kw,
+        ).reshape(b, n_tok, c)
+        xc = _requant_add(xc, sb["s_res1"], h, sb["s_mq2"], sb["s_res2"])
+        s_prev = sb["s_res2"]
+
+    xc = _int_ln_codes(xc, s_prev, s["norm_w"], s["norm_b"], s["s_qact2"], 1.0)
+    xc = xc[:, 0]
+    hd = s["head"]
+    logits_c = mm(
+        xc,
+        hd["w_q"],
+        s["s_qact2"] * hd["sw"] / s["s_out"],
+        hd["bias"] / s["s_out"],
+        **mm_kw,
+    )
+    return logits_c.astype(jnp.float32) * s["s_out"]

@@ -123,10 +123,14 @@ def main():
     if name not in MODEL_ZOO:
         raise NotImplementedError(f"{name} not yet in the TPU zoo")
     cfg = MODEL_ZOO[name]
+    is_swin = args.model.startswith("swin")
+    if is_swin:
+        from p2vit_tpu.models import swin
     policy = make_policy(args.ptf, args.lis, args.quant_method)
+    family = swin if is_swin else vit
 
     if args.random_init:
-        params = vit.init_params(jax.random.PRNGKey(args.seed), cfg)
+        params = family.init_params(jax.random.PRNGKey(args.seed), cfg)
         print("WARNING: random init (no pretrained weights)")
     else:
         params = checkpoints.load_pretrained(name, cfg, args.checkpoint)
@@ -167,14 +171,20 @@ def main():
                 # the reference collects calib-iter batches but calibrates on
                 # the first only (test_quant.py:285-307)
                 cal, _ = next(it)
-            calib = vit.calibrate(params, cfg, policy, jnp.asarray(cal))
+            calib = family.calibrate(params, cfg, policy, jnp.asarray(cal))
             if args.save_quant_state:
                 checkpoints.save_quant_state(args.save_quant_state, calib)
                 print(f"Saved quantization state to {args.save_quant_state}")
 
     val = data.ImageFolder(f"{args.data}/val", tf)
 
-    if args.quant:
+    if args.quant and is_swin:
+        # Swin is FQ-ViT-style: uniform weight bit (the reference never wired
+        # bit_config/mixed-precision into Swin — SURVEY §2 ⚠)
+        def model_fn(x, bit_config):
+            w_bit = int(bit_config[0]) if bit_config else 8
+            return swin.quant_forward(params, calib.qstate, cfg, policy, x, w_bit)
+    elif args.quant:
         fwd = jax.jit(
             lambda p, q, x, bi: vit.quant_forward(p, q, cfg, policy, x, bi)
         )
@@ -182,7 +192,7 @@ def main():
         def model_fn(x, bit_config):
             return fwd(params, calib.qstate, x, vit.bits_to_idx(bit_config))
     else:
-        fp = jax.jit(lambda p, x: vit.fp_forward(p, cfg, x))
+        fp = jax.jit(lambda p, x: family.fp_forward(p, cfg, x))
 
         def model_fn(x, bit_config):
             return fp(params, x)
@@ -212,6 +222,11 @@ def main():
 
     if args.mixed:
         assert args.quant, "--mixed requires --quant"
+        if is_swin:
+            raise SystemExit(
+                "--mixed is ViT/DeiT-only (the reference never wired "
+                "mixed-precision into Swin; see SURVEY §2)"
+            )
         n = cfg.num_matmuls
         if args.live_hessian:
             from p2vit_tpu.hessian import hessian_traces, normalized_mean_hessian

@@ -1,0 +1,82 @@
+"""Quantized Swin tests: window helpers, fp forward, calibrate + quant
+forward on a tiny hierarchical config (CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from p2vit_tpu.config import make_policy
+from p2vit_tpu.models import swin
+
+# 32px, patch 4 → 8×8 grid; window 4; two stages (8×8 then 4×4 after merge)
+TINY = swin.SwinConfig(
+    img_size=32, patch_size=4, num_classes=10, embed_dim=16,
+    depths=(2, 2), num_heads=(2, 2), window_size=4,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = swin.init_params(jax.random.PRNGKey(0), TINY)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 3, 32, 32))
+    return params, x
+
+
+def test_window_partition_roundtrip():
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 8, 8, 5))
+    w = swin.window_partition(x, 4)
+    assert w.shape == (2 * 4, 16, 5)
+    back = swin.window_reverse(w, 4, 8, 8)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+
+def test_relative_position_index():
+    idx = swin.relative_position_index(4)
+    assert idx.shape == (16, 16)
+    assert idx.min() == 0 and idx.max() == (2 * 4 - 1) ** 2 - 1
+    # symmetric pairs map to mirrored offsets; diagonal is the center cell
+    assert (np.diag(idx) == idx[0, 0]).all()
+
+
+def test_shift_attn_mask():
+    m = swin.shift_attn_mask(8, 8, 4, 2)
+    assert m.shape == (4, 16, 16)
+    assert set(np.unique(m)) <= {0.0, -100.0}
+    # the first (non-boundary) window is unmasked
+    assert (m[0] == 0).all()
+
+
+def test_fp_forward(setup):
+    params, x = setup
+    logits = swin.fp_forward(params, TINY, x)
+    assert logits.shape == (2, 10)
+    assert jnp.isfinite(logits).all()
+
+
+def test_calibrate_and_quant_forward(setup):
+    params, x = setup
+    policy = make_policy()
+    calib = swin.calibrate(params, TINY, policy, x)
+    # weight layers: per block qkv+proj+fc1+fc2, +1 downsample reduction,
+    # +1 patch conv, +1 head
+    n_w = 4 * sum(TINY.depths) + (TINY.num_layers - 1) + 2
+    assert calib.global_distance.shape == (n_w, 4)
+    # PoT weight scales
+    ws = calib.qstate["stages"][0]["blocks"][0]["attn"]["qkv_wscale"]
+    exps = jnp.log2(ws)
+    assert jnp.allclose(exps, jnp.round(exps), atol=1e-6)
+    # PatchMerging PTF state exists with 2C channels (post-reduction)
+    dq = calib.qstate["stages"][0]["downsample"]
+    assert dq["qact2"]["scale"].shape == (2 * TINY.embed_dim,)
+
+    for w_bit in (8, 4):
+        out = swin.quant_forward(params, calib.qstate, TINY, policy, x, w_bit)
+        assert out.shape == (2, 10)
+        assert jnp.isfinite(out).all()
+
+    fp = swin.fp_forward(params, TINY, x)
+    q8 = swin.quant_forward(params, calib.qstate, TINY, policy, x, 8)
+    rel = jnp.linalg.norm(q8 - fp) / jnp.linalg.norm(fp)
+    assert rel < 0.6, f"W8A8 too far from fp: {rel}"

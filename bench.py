@@ -22,21 +22,26 @@ import jax.numpy as jnp
 
 
 def _time_fn(step, x, iters=10):
-    """Time ``step(x) -> logits`` per iteration.
+    """Time ``step(x) -> logits`` per iteration, looping ON DEVICE.
 
-    On the axon-tunneled TPU, ``jax.block_until_ready`` does not actually
-    synchronize, so naive timing reads queue-dispatch latency. Instead each
-    iteration's input is made data-dependent on the previous output (forcing
-    serial execution, defeating any result caching) and the final scalar is
-    fetched to the host once.
+    On the axon-tunneled TPU, ``jax.block_until_ready`` does not synchronize
+    and every eager dispatch costs a tunnel round trip, so host-side loops
+    measure RTT, not compute. The chain runs inside one jit (each
+    iteration's input data-depends on the previous logits, forcing serial
+    execution) and a single scalar fetch closes the measurement.
     """
-    y = step(x)
-    float(y.sum())  # warmup + compile + one RTT
+
+    @jax.jit
+    def run(x0):
+        def body(_, acc):
+            y = step(x0 + (0.0 * acc).astype(x0.dtype))
+            return y.sum().astype(jnp.float32)
+
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+
+    float(run(x))  # compile + warm
     t0 = time.perf_counter()
-    for _ in range(iters):
-        x = x + 0.0 * y.sum()  # serialize: input depends on previous logits
-        y = step(x)
-    float(y.sum())
+    float(run(x))
     return (time.perf_counter() - t0) / iters
 
 

@@ -149,6 +149,96 @@ def lis_attention(
     return out[:, :n, :d]
 
 
+def _fused_kernel(
+    s_ref, qkv_ref, o_ref, *, n_valid, lis_bits, qmin, qmax, c, d, num_heads
+):
+    """Per-image step: q/k/v head slices are STATIC offsets into the fused
+    (N, 3C) qkv panel, so no head-split/merge transposes ever materialize in
+    HBM; the per-head attention loop unrolls inside the kernel."""
+    rq, s_attn, ro = s_ref[0, 0], s_ref[0, 1], s_ref[0, 2]
+    outs = []
+    for h in range(num_heads):
+        qm = qkv_ref[0, :, h * d : (h + 1) * d]
+        km = qkv_ref[0, :, c + h * d : c + (h + 1) * d]
+        vm = qkv_ref[0, :, 2 * c + h * d : 2 * c + (h + 1) * d]
+        acc = jax.lax.dot_general(
+            qm, km, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+        )
+        attn_c = jnp.clip(jnp.round(acc.astype(jnp.float32) * rq), qmin, qmax)
+        col = jax.lax.broadcasted_iota(jnp.int32, attn_c.shape, 1)
+        attn_c = jnp.where(col < n_valid, attn_c, jnp.float32(qmin))
+        x_int = attn_c - attn_c.max(axis=-1, keepdims=True)
+        exp_int = _int_exp(x_int, s_attn)
+        exp_int = jnp.where(col < n_valid, exp_int, 0.0)
+        exp_sum = exp_int.sum(axis=-1, keepdims=True)
+        softmax_out = jnp.round(exp_sum / jnp.maximum(exp_int, 1.0))
+        softmax_out = jnp.where(exp_int > 0, softmax_out, jnp.inf)
+        big = jnp.floor(jnp.log2(softmax_out))
+        big = big + ((softmax_out - 2.0**big) >= 2.0 ** (big - 1.0))
+        overflow = big >= 2.0**lis_bits
+        attn_pot = jnp.where(
+            overflow, 0.0, 2.0 ** (-jnp.clip(big, 0.0, 2.0**lis_bits - 1.0))
+        )
+        av = jax.lax.dot_general(
+            attn_pot,
+            vm.astype(jnp.float32),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        outs.append(jnp.clip(jnp.round(av * ro), qmin, qmax).astype(jnp.int8))
+    o_ref[0] = jnp.concatenate(outs, axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "lis_bits", "interpret"))
+def lis_attention_fused(
+    qkv_q: jnp.ndarray,
+    num_heads: int,
+    score_requant,
+    attn_scale,
+    out_requant,
+    lis_bits: int = 4,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused quantized attention over the (B, N, 3C) fused-qkv codes.
+
+    Same math as ``lis_attention`` but indexes heads inside the kernel, so
+    the (B,N,3C)→(3,B,H,N,d)→(B,N,C) reshuffles (two full memory passes per
+    layer) disappear. Returns (B, N, C) int8 codes of the qact2 node.
+    """
+    b, n, c3 = qkv_q.shape
+    c = c3 // 3
+    d = c // num_heads
+    assert d % 128 == 0 or 128 % d == 0, f"head_dim {d} vs lane width"
+    npad = (-n) % 128
+    qkv_p = jnp.pad(qkv_q, ((0, 0), (0, npad), (0, 0))) if npad else qkv_q
+    nfull = n + npad
+    scalars = jnp.stack(
+        [
+            jnp.asarray(score_requant, jnp.float32),
+            jnp.asarray(attn_scale, jnp.float32),
+            jnp.asarray(out_requant, jnp.float32),
+        ]
+    ).reshape(1, 3)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _fused_kernel, n_valid=n, lis_bits=lis_bits, qmin=-128.0, qmax=127.0,
+            c=c, d=d, num_heads=num_heads,
+        ),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, nfull, c3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, nfull, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, nfull, c), jnp.int8),
+        interpret=interpret,
+    )(scalars, qkv_p)
+    return out[:, :n, :]
+
+
 def lis_attention_ref(
     q_q, k_q, v_q, score_requant, attn_scale, out_requant, lis_bits=4
 ):

@@ -1,0 +1,116 @@
+"""Pallas TPU kernel: integer LayerNorm on codes, fused end to end.
+
+The serving pipeline's glue cost is dominated by the M·2⁻ᴺ integer LayerNorm
+(quant/intops.py int_layernorm → serving.py _int_ln_codes): expressed in
+jnp, XLA materializes several (tokens, C) f32 intermediates per LN — ~25
+LNs per ViT forward. This kernel reads the int8 codes once, does the whole
+row-statistics + M·2⁻ᴺ epilogue in VMEM, and writes int8 codes once:
+HBM traffic drops from ~15 passes to 2.
+
+Math is the code-domain QIntLayerNorm
+(/root/reference/models/ptq/layers.py:294-337), identical op-for-op to
+serving._int_ln_codes (the parity twin used in tests):
+
+  x    = codes · ptf_mask                      (PTF shift alignment)
+  mean = Σx/C · s1 ;  std = (s1/C)·√(C·Σx² − (Σx)²)
+  A    = (s1/std)·w/out_scale → sign, M=⌊|A|·2^N⌋ (M 8-bit, N∈[0,31])
+  B    = round((b − mean/std·w)/out_scale · 2^N)
+  y    = round((sign·M·x + B)/2^N)
+  out  = clip(round(y·ratio))                  (int8 codes)
+
+Channel padding: inputs are zero-padded to a 128 multiple; padded lanes have
+mask=0 so they contribute nothing to the row sums (the true channel count is
+baked in statically), and their outputs are sliced off by the caller.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(s1_ref, codes_ref, vec_ref, o_ref, *, c_true):
+    s1 = s1_ref[0, 0]
+    mask = vec_ref[0, :][None, :]
+    w = vec_ref[1, :][None, :]
+    b = vec_ref[2, :][None, :]
+    out_scale = vec_ref[3, :][None, :]
+    ratio = vec_ref[4, :][None, :]
+
+    x = codes_ref[:].astype(jnp.float32) * mask
+    sx = jnp.sum(x, axis=1, keepdims=True)
+    sxx = jnp.sum(x * x, axis=1, keepdims=True)
+    mean = (sx / c_true) * s1
+    std = (s1 / c_true) * jnp.sqrt(c_true * sxx - sx * sx)
+    a = (s1 / std) * w / out_scale
+    a_sign = jnp.sign(a)
+    a_abs = jnp.abs(a)
+    n = jnp.clip(7.0 - jnp.floor(jnp.log2(a_abs)), 0.0, 31.0)
+    m = jnp.clip(jnp.floor(a_abs * jnp.exp2(n)), 0.0, 255.0)
+    bb = jnp.round((b - (mean / std) * w) / out_scale * jnp.exp2(n))
+    y = jnp.round((a_sign * m * x + bb) / jnp.exp2(n))
+    o_ref[:] = jnp.clip(jnp.round(y * ratio), -128, 127).astype(jnp.int8)
+
+
+def _pad_to(a, axis, mult):
+    pad = (-a.shape[axis]) % mult
+    if pad == 0:
+        return a
+    widths = [(0, 0)] * a.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(a, widths)
+
+
+@functools.partial(jax.jit, static_argnames=("block_m", "interpret"))
+def int_ln_requant(
+    codes: jnp.ndarray,
+    ptf_mask: jnp.ndarray,
+    s1: jnp.ndarray,
+    ln_w: jnp.ndarray,
+    ln_b: jnp.ndarray,
+    out_scale: jnp.ndarray,
+    ratio: jnp.ndarray,
+    block_m: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Integer LN on (M, C) int8 codes → int8 codes of the consumer node.
+
+    Args:
+      codes: (M, C) int8 producer codes.
+      ptf_mask: (C,) f32, round(in_scale / in_scale.min()) ∈ {1,2,4,8}.
+      s1: scalar f32, in_scale.min().
+      ln_w/ln_b: (C,) LayerNorm affine.
+      out_scale: (C,) f32 consumer scale (× any smoothquant channel scale).
+      ratio: (C,) f32 post-LN code multiplier (norm2 smoothquant quirk; 1s
+        otherwise).
+    """
+    m, c = codes.shape
+    cp = _pad_to(codes, 1, 128)
+    cpad = cp.shape[1]
+    cp = _pad_to(cp, 0, block_m)
+    mp = cp.shape[0]
+    vecs = jnp.stack(
+        [
+            _pad_to(jnp.broadcast_to(jnp.asarray(v, jnp.float32), (c,)), 0, 128)
+            for v in (ptf_mask, ln_w, ln_b, out_scale, ratio)
+        ]
+    )
+    s1a = jnp.asarray(s1, jnp.float32).reshape(1, 1)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, c_true=float(c)),
+        grid=(mp // block_m,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((block_m, cpad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((5, cpad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_m, cpad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((mp, cpad), jnp.int8),
+        interpret=interpret,
+    )(s1a, cp, vecs)
+    return out[:m, :c]

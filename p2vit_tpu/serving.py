@@ -32,8 +32,17 @@ import numpy as np
 
 from .config import QuantPolicy
 from .models.common import ViTConfig, extract_patches
-from .ops.attention_lis import lis_attention, lis_attention_ref
-from .ops.matmul_int8 import int8_matmul_requant, int8_matmul_requant_ref
+from .ops.attention_lis import (
+    lis_attention,
+    lis_attention_fused,
+    lis_attention_ref,
+)
+from .ops.matmul_int8 import (
+    int8_matmul_requant,
+    int8_matmul_requant_ref,
+    int8_matmul_requant_res,
+    int8_matmul_requant_res_ref,
+)
 from .quant.intops import get_mn
 
 _I8 = (-128, 127)
@@ -138,15 +147,34 @@ def convert(params, qstate, cfg: ViTConfig, policy: QuantPolicy, bit_config) -> 
     return s
 
 
-def _int_ln_codes(c_in, s_in, w, b, out_scale, ratio):
+def _int_ln_codes(c_in, s_in, w, b, out_scale, ratio, use_pallas=False,
+                  interpret=False):
     """Integer LayerNorm on codes → codes of the consumer node.
 
     The code-domain form of quant/intops.int_layernorm: the producer's codes
     arrive directly (no round(x/in_scale) needed), the M·2^-N epilogue lands
     on the consumer's scale, and ``ratio`` folds any smoothquant mismatch
-    (norm2 quirk) before the final clip.
+    (norm2 quirk) before the final clip. On accelerators the fused Pallas
+    kernel (ops/intln.py) does the whole thing in two HBM passes.
     """
     c = c_in.shape[-1]
+    if use_pallas:
+        from .ops.intln import int_ln_requant
+
+        s_in_v = jnp.broadcast_to(jnp.asarray(s_in, jnp.float32), (c,))
+        s1 = s_in_v.min()
+        mask = jnp.round(s_in_v / s1)
+        out = int_ln_requant(
+            c_in.reshape(-1, c),
+            mask,
+            s1,
+            w,
+            b,
+            jnp.broadcast_to(jnp.asarray(out_scale, jnp.float32), (c,)),
+            jnp.broadcast_to(jnp.asarray(ratio, jnp.float32), (c,)),
+            interpret=interpret,
+        )
+        return out.reshape(c_in.shape)
     x_q = c_in.astype(jnp.float32)
     s_in = jnp.broadcast_to(jnp.asarray(s_in, jnp.float32), (c,))
     s1 = s_in.min()
@@ -174,9 +202,9 @@ def serving_forward(s, cfg: ViTConfig, x, interpret: bool = False,
                     use_pallas: bool = True):
     """Run the int8 pipeline on a f32 image batch; returns f32 logits."""
     mm = int8_matmul_requant if use_pallas else int8_matmul_requant_ref
-    attn_fn = lis_attention if use_pallas else lis_attention_ref
+    mm_res = int8_matmul_requant_res if use_pallas else int8_matmul_requant_res_ref
     mm_kw = {"interpret": interpret} if use_pallas else {}
-    at_kw = {"interpret": interpret} if use_pallas else {}
+    iln = functools.partial(_int_ln_codes, use_pallas=use_pallas, interpret=interpret)
 
     b = x.shape[0]
     c = cfg.embed_dim
@@ -204,7 +232,7 @@ def serving_forward(s, cfg: ViTConfig, x, interpret: bool = False,
     for sb in s["blocks"]:
         qkv = sb["qkv"]
         # int-LN1 → qact0 codes (smoothing division folded into out_scale)
-        h = _int_ln_codes(
+        h = iln(
             xc, s_prev, sb["norm1_w"], sb["norm1_b"],
             qkv["s_act"] * qkv["cs"], 1.0,
         )
@@ -215,36 +243,46 @@ def serving_forward(s, cfg: ViTConfig, x, interpret: bool = False,
             qkv["bias"] / sb["s_qact1"],
             **mm_kw,
         ).reshape(b, n_tok, 3 * c)
-        # split heads on codes
-        hd = cfg.head_dim
-        qkv_c = h2.reshape(b, n_tok, 3, cfg.num_heads, hd).transpose(2, 0, 3, 1, 4)
-        qh = qkv_c[0].reshape(b * cfg.num_heads, n_tok, hd)
-        kh = qkv_c[1].reshape(b * cfg.num_heads, n_tok, hd)
-        vh = qkv_c[2].reshape(b * cfg.num_heads, n_tok, hd)
-        av = attn_fn(
-            qh, kh, vh,
-            sb["s_qact1"] ** 2 * cfg.attn_scale / sb["s_attn1"],
-            sb["s_attn1"],
-            sb["s_qact1"] / sb["s_qact2a"],
-            **at_kw,
-        )
-        h = (
-            av.reshape(b, cfg.num_heads, n_tok, hd)
-            .transpose(0, 2, 1, 3)
-            .reshape(b, n_tok, c)
-        )
+        # fused attention over the (B, N, 3C) codes: head slicing happens
+        # inside the kernel, so no split/merge transposes hit HBM
+        if use_pallas:
+            h = lis_attention_fused(
+                h2, cfg.num_heads,
+                sb["s_qact1"] ** 2 * cfg.attn_scale / sb["s_attn1"],
+                sb["s_attn1"],
+                sb["s_qact1"] / sb["s_qact2a"],
+                interpret=interpret,
+            )
+        else:
+            hd = cfg.head_dim
+            qkv_c = h2.reshape(b, n_tok, 3, cfg.num_heads, hd).transpose(2, 0, 3, 1, 4)
+            av = lis_attention_ref(
+                qkv_c[0].reshape(b * cfg.num_heads, n_tok, hd),
+                qkv_c[1].reshape(b * cfg.num_heads, n_tok, hd),
+                qkv_c[2].reshape(b * cfg.num_heads, n_tok, hd),
+                sb["s_qact1"] ** 2 * cfg.attn_scale / sb["s_attn1"],
+                sb["s_attn1"],
+                sb["s_qact1"] / sb["s_qact2a"],
+            )
+            h = (
+                av.reshape(b, cfg.num_heads, n_tok, hd)
+                .transpose(0, 2, 1, 3)
+                .reshape(b, n_tok, c)
+            )
         pr = sb["proj"]
-        h = mm(
+        # proj matmul with the residual junction fused into the epilogue
+        xc = mm_res(
             h.reshape(-1, c),
             pr["w_q"],
             sb["s_qact2a"] * pr["sw"] / sb["s_qact3"],
             pr["bias"] / sb["s_qact3"],
+            xc.reshape(-1, c),
+            sb["s_qact3"], s_prev, sb["s_res1"],
             **mm_kw,
         ).reshape(b, n_tok, c)
-        xc = _requant_add(xc, s_prev, h, sb["s_qact3"], sb["s_res1"])
 
         fc1 = sb["mlp_fc1"]
-        h = _int_ln_codes(
+        h = iln(
             xc, sb["s_res1"], sb["norm2_w"], sb["norm2_b"],
             fc1["s_act"] * sb["norm2_cs"], sb["norm2_ratio"],
         )
@@ -258,17 +296,18 @@ def serving_forward(s, cfg: ViTConfig, x, interpret: bool = False,
             **mm_kw,
         )
         fc2 = sb["fc2"]
-        h = mm(
+        xc = mm_res(
             h,
             fc2["w_q"],
             sb["s_mq1"] * fc2["sw"] / sb["s_mq2"],
             fc2["bias"] / sb["s_mq2"],
+            xc.reshape(-1, c),
+            sb["s_mq2"], sb["s_res1"], sb["s_res2"],
             **mm_kw,
         ).reshape(b, n_tok, c)
-        xc = _requant_add(xc, sb["s_res1"], h, sb["s_mq2"], sb["s_res2"])
         s_prev = sb["s_res2"]
 
-    xc = _int_ln_codes(xc, s_prev, s["norm_w"], s["norm_b"], s["s_qact2"], 1.0)
+    xc = iln(xc, s_prev, s["norm_w"], s["norm_b"], s["s_qact2"], 1.0)
     xc = xc[:, 0]
     hd = s["head"]
     logits_c = mm(

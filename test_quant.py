@@ -77,6 +77,9 @@ def build_parser():
     p.add_argument("--save-quant-state", default=None, metavar="PATH.npz")
     p.add_argument("--load-quant-state", default=None, metavar="PATH.npz")
     p.add_argument("--limit-val", default=None, type=int, help="cap val batches")
+    p.add_argument("--serve", action="store_true",
+                   help="evaluate on the int8 Pallas serving path instead of "
+                        "the fake-quant simulation (ViT/DeiT, fixed bit config)")
     p.add_argument("--live-hessian", action="store_true",
                    help="compute Hessian traces instead of hardcoded tables")
     p.add_argument("--hessian-batches", default=2, type=int)
@@ -184,6 +187,21 @@ def main():
         def model_fn(x, bit_config):
             w_bit = int(bit_config[0]) if bit_config else 8
             return swin.quant_forward(params, calib.qstate, cfg, policy, x, w_bit)
+    elif args.quant and args.serve:
+        from p2vit_tpu import serving
+
+        on_accel = jax.devices()[0].platform != "cpu"
+        _sstate_cache = {}
+
+        def model_fn(x, bit_config):
+            key = tuple(int(b) for b in bit_config)
+            if key not in _sstate_cache:
+                _sstate_cache[key] = serving.convert(
+                    params, calib.qstate, cfg, policy, list(key)
+                )
+            return serving.serving_forward(
+                _sstate_cache[key], cfg, x, use_pallas=on_accel
+            )
     elif args.quant:
         fwd = jax.jit(
             lambda p, q, x, bi: vit.quant_forward(p, q, cfg, policy, x, bi)

@@ -40,6 +40,33 @@ def _int_exp(x_int, scale):
     return jnp.maximum(jnp.floor(poly * 2.0 ** (_EXP_N - q)), 0.0)
 
 
+def _lis_from_scores(attn_c, s_attn, col, n_valid, lis_bits):
+    """Shared Log-Int-Softmax core on quantizer codes: int-exp →
+    round(sum/exp) → log2-round (ties up) → 2^-q with overflow→0.
+
+    Shared verbatim by the Pallas kernels and the jnp reference twins so
+    they stay bit-identical. (An exponent-bit-manipulation variant of the
+    2^k/floor-log2 ops — ops/fastmath.py — measured ~25% SLOWER than the
+    VPU's transcendental unit on v5e, so transcendentals stay.)
+    """
+    x_int = attn_c - attn_c.max(axis=-1, keepdims=True)
+    exp_int = _int_exp(x_int, s_attn)
+    # padded key columns must contribute ZERO mass (int_exp never underflows
+    # all the way to 0 on its own)
+    exp_int = jnp.where(col < n_valid, exp_int, 0.0)
+    exp_sum = exp_int.sum(axis=-1, keepdims=True)
+    # exp_int == 0 → +inf → log2 → inf → overflow mask, exactly like the
+    # reference's unguarded division (layers.py:422)
+    softmax_out = jnp.round(exp_sum / exp_int)
+    big = jnp.floor(jnp.log2(softmax_out))
+    p = 2.0**big
+    big = big + ((softmax_out - p) >= p * 0.5)
+    overflow = big >= 2.0**lis_bits
+    return jnp.where(
+        overflow, 0.0, 2.0 ** (-jnp.clip(big, 0.0, 2.0**lis_bits - 1.0))
+    )
+
+
 def _kernel(s_ref, q_ref, k_ref, v_ref, o_ref, *, n_valid, lis_bits, qmin, qmax):
     rq, s_attn, ro = s_ref[0, 0], s_ref[0, 1], s_ref[0, 2]
     qm = q_ref[0]
@@ -51,26 +78,10 @@ def _kernel(s_ref, q_ref, k_ref, v_ref, o_ref, *, n_valid, lis_bits, qmin, qmax)
     )
     # codes of the qact_attn1 node (PoT requant of the int32 scores)
     attn_c = jnp.clip(jnp.round(acc.astype(jnp.float32) * rq), qmin, qmax)
-
     # park padded key columns at qmin so they can't win the row max
     col = jax.lax.broadcasted_iota(jnp.int32, attn_c.shape, 1)
     attn_c = jnp.where(col < n_valid, attn_c, jnp.float32(qmin))
-
-    # Log-Int-Softmax on codes (x/scale of layers.py:412 is the code itself)
-    x_int = attn_c - attn_c.max(axis=-1, keepdims=True)
-    exp_int = _int_exp(x_int, s_attn)
-    # padded columns must contribute ZERO mass to the softmax sum (the
-    # range-reduced int_exp never underflows all the way to 0 on its own)
-    exp_int = jnp.where(col < n_valid, exp_int, 0.0)
-    exp_sum = exp_int.sum(axis=-1, keepdims=True)
-    softmax_out = jnp.round(exp_sum / jnp.maximum(exp_int, 1.0))
-    softmax_out = jnp.where(exp_int > 0, softmax_out, jnp.inf)
-    big = jnp.floor(jnp.log2(softmax_out))
-    big = big + ((softmax_out - 2.0**big) >= 2.0 ** (big - 1.0))
-    overflow = big >= 2.0**lis_bits
-    attn_pot = jnp.where(
-        overflow, 0.0, 2.0 ** (-jnp.clip(big, 0.0, 2.0**lis_bits - 1.0))
-    )
+    attn_pot = _lis_from_scores(attn_c, s_attn, col, n_valid, lis_bits)
 
     # shift-accumulate attn@v: powers of two × int8 codes, exact in f32
     av = jax.lax.dot_general(
@@ -167,18 +178,7 @@ def _fused_kernel(
         attn_c = jnp.clip(jnp.round(acc.astype(jnp.float32) * rq), qmin, qmax)
         col = jax.lax.broadcasted_iota(jnp.int32, attn_c.shape, 1)
         attn_c = jnp.where(col < n_valid, attn_c, jnp.float32(qmin))
-        x_int = attn_c - attn_c.max(axis=-1, keepdims=True)
-        exp_int = _int_exp(x_int, s_attn)
-        exp_int = jnp.where(col < n_valid, exp_int, 0.0)
-        exp_sum = exp_int.sum(axis=-1, keepdims=True)
-        softmax_out = jnp.round(exp_sum / jnp.maximum(exp_int, 1.0))
-        softmax_out = jnp.where(exp_int > 0, softmax_out, jnp.inf)
-        big = jnp.floor(jnp.log2(softmax_out))
-        big = big + ((softmax_out - 2.0**big) >= 2.0 ** (big - 1.0))
-        overflow = big >= 2.0**lis_bits
-        attn_pot = jnp.where(
-            overflow, 0.0, 2.0 ** (-jnp.clip(big, 0.0, 2.0**lis_bits - 1.0))
-        )
+        attn_pot = _lis_from_scores(attn_c, s_attn, col, n_valid, lis_bits)
         av = jax.lax.dot_general(
             attn_pot,
             vm.astype(jnp.float32),
@@ -247,16 +247,10 @@ def lis_attention_ref(
         "bnd,bmd->bnm", q_q.astype(jnp.int32), k_q.astype(jnp.int32)
     ).astype(jnp.float32)
     attn_c = jnp.clip(jnp.round(acc * score_requant), -128, 127)
-    x_int = attn_c - attn_c.max(axis=-1, keepdims=True)
-    exp_int = _int_exp(x_int, jnp.asarray(attn_scale, jnp.float32))
-    exp_sum = exp_int.sum(axis=-1, keepdims=True)
-    softmax_out = jnp.round(exp_sum / jnp.maximum(exp_int, 1.0))
-    softmax_out = jnp.where(exp_int > 0, softmax_out, jnp.inf)
-    big = jnp.floor(jnp.log2(softmax_out))
-    big = big + ((softmax_out - 2.0**big) >= 2.0 ** (big - 1.0))
-    overflow = big >= 2.0**lis_bits
-    attn_pot = jnp.where(
-        overflow, 0.0, 2.0 ** (-jnp.clip(big, 0.0, 2.0**lis_bits - 1.0))
+    n = attn_c.shape[-1]
+    col = jax.lax.broadcasted_iota(jnp.int32, attn_c.shape, 2)
+    attn_pot = _lis_from_scores(
+        attn_c, jnp.asarray(attn_scale, jnp.float32), col, n, lis_bits
     )
     av = jnp.einsum("bnm,bmd->bnd", attn_pot, v_q.astype(jnp.float32))
     return jnp.clip(jnp.round(av * out_requant), -128, 127).astype(jnp.int8)

@@ -50,9 +50,10 @@ def _kernel(s1_ref, codes_ref, vec_ref, o_ref, *, c_true):
     a_sign = jnp.sign(a)
     a_abs = jnp.abs(a)
     n = jnp.clip(7.0 - jnp.floor(jnp.log2(a_abs)), 0.0, 31.0)
-    m = jnp.clip(jnp.floor(a_abs * jnp.exp2(n)), 0.0, 255.0)
-    bb = jnp.round((b - (mean / std) * w) / out_scale * jnp.exp2(n))
-    y = jnp.round((a_sign * m * x + bb) / jnp.exp2(n))
+    p2n = jnp.exp2(n)
+    m = jnp.clip(jnp.floor(a_abs * p2n), 0.0, 255.0)
+    bb = jnp.round((b - (mean / std) * w) / out_scale * p2n)
+    y = jnp.round((a_sign * m * x + bb) / p2n)
     o_ref[:] = jnp.clip(jnp.round(y * ratio), -128, 127).astype(jnp.int8)
 
 
@@ -89,6 +90,11 @@ def int_ln_requant(
         otherwise).
     """
     m, c = codes.shape
+    if m % block_m:  # avoid the M pad copy + output slice
+        for cand in (512, 384, 256, 128):
+            if m % cand == 0:
+                block_m = cand
+                break
     cp = _pad_to(codes, 1, 128)
     cpad = cp.shape[1]
     cp = _pad_to(cp, 0, block_m)

@@ -67,6 +67,24 @@ def _kernel(s_ref, x_ref, w_ref, r_ref, b_ref, o_ref, *, qmin, qmax, gelu):
     o_ref[:] = jnp.clip(jnp.round(y), qmin, qmax).astype(jnp.int8)
 
 
+def _pick_blocks(m, n, block_m, block_n):
+    """Choose tile sizes that avoid padding copies.
+
+    Padding M (the big token axis) costs a full extra HBM pass for the pad
+    copy and the output slice; a block that divides M exactly makes both
+    no-ops. N-side weight/vector pads are tiny, and keeping the whole padded
+    N resident (one j step) loads each x tile exactly once.
+    """
+    if m % block_m:
+        for cand in (512, 384, 256, 128):
+            if m % cand == 0:
+                block_m = cand
+                break
+    if block_n is None:
+        block_n = min(-(-n // 128) * 128, 2048)
+    return block_m, block_n
+
+
 def _pad_to(a, axis, mult):
     pad = (-a.shape[axis]) % mult
     if pad == 0:
@@ -90,7 +108,7 @@ def int8_matmul_requant(
     qmax: int = 127,
     gelu: bool = False,
     block_m: int = 256,
-    block_n: int = 256,
+    block_n: int | None = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """out_q = clip(round(epilogue(Σ_k x_q·w_q · requant[n] + bias[n])))
@@ -107,6 +125,7 @@ def int8_matmul_requant(
     """
     m, k = x_q.shape
     n = w_q.shape[0]
+    block_m, block_n = _pick_blocks(m, n, block_m, block_n)
     x_p = _pad_to(x_q, 0, block_m)
     w_p = _pad_to(w_q, 0, block_n)
     r_p = _pad_to(requant_scale.astype(jnp.float32), 0, block_n).reshape(1, -1)
@@ -171,8 +190,8 @@ def int8_matmul_requant_res(
     s_out,
     qmin: int = -128,
     qmax: int = 127,
-    block_m: int = 512,
-    block_n: int = 512,
+    block_m: int = 256,
+    block_n: int | None = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Matmul + PoT requant to the intermediate node + fused residual add:
@@ -188,6 +207,7 @@ def int8_matmul_requant_res(
     """
     m, k = x_q.shape
     n = w_q.shape[0]
+    block_m, block_n = _pick_blocks(m, n, block_m, block_n)
     x_p = _pad_to(x_q, 0, block_m)
     w_p = _pad_to(w_q, 0, block_n)
     r_p = _pad_to(requant_scale.astype(jnp.float32), 0, block_n).reshape(1, -1)

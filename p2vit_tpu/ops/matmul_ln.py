@@ -1,0 +1,196 @@
+"""Pallas TPU kernel: int8 matmul + residual junction + following integer LN.
+
+The deepest fusion in the serving pipeline. After the residual junctions
+(proj→qact3→+x→qact2 and fc2→qact2→+x→qact4) the very next op is always an
+integer LayerNorm whose row statistics need the full channel dim — and the
+matmul's N (=C) fits one block, so the epilogue already holds complete rows.
+Fusing the LN here removes every mid-block standalone LN pass (2 per block,
+~0.35 ms each at DeiT-S batch 256).
+
+Outputs per tile:
+  res_out: the residual-carrier codes (qact2 / qact4) — still needed by the
+           next junction,
+  ln_out:  the LN'd codes of the consumer (attention qact0 / mlp qact0),
+           with the smoothquant ratio folded (serving._int_ln_codes math).
+
+All steps replicate the two-kernel sequence bit for bit: intermediate
+round/clip at the mid node, the same f32 association in the requant-add, and
+the same M·2⁻ᴺ LayerNorm ops (ops/intln.py)."""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(s1_ref, x_ref, w_ref, rb_ref, res_ref, vec_ref, res_o_ref,
+            ln_o_ref, *, qmin, qmax, c_true):
+    s1 = s1_ref[0, 0]
+    acc = jax.lax.dot_general(
+        x_ref[:],
+        w_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    r = rb_ref[0, :][None, :]
+    b = rb_ref[1, :][None, :]
+    s_mid = vec_ref[0, :][None, :]
+    s_res = vec_ref[1, :][None, :]
+    s_out = vec_ref[2, :][None, :]
+    # mid-node codes (round/clip is load-bearing for parity)
+    mid = jnp.clip(jnp.round(acc.astype(jnp.float32) * r + b), qmin, qmax)
+    val = mid * s_mid + res_ref[:].astype(jnp.float32) * s_res
+    res_codes = jnp.clip(jnp.round(val / s_out), qmin, qmax)
+    res_o_ref[:] = res_codes.astype(jnp.int8)
+
+    # integer LN on the residual codes (ops/intln.py math, op for op)
+    mask = vec_ref[3, :][None, :]
+    ln_w = vec_ref[4, :][None, :]
+    ln_b = vec_ref[5, :][None, :]
+    ln_out_scale = vec_ref[6, :][None, :]
+    ratio = vec_ref[7, :][None, :]
+    x = res_codes * mask
+    sx = jnp.sum(x, axis=1, keepdims=True)
+    sxx = jnp.sum(x * x, axis=1, keepdims=True)
+    mean = (sx / c_true) * s1
+    std = (s1 / c_true) * jnp.sqrt(c_true * sxx - sx * sx)
+    a = (s1 / std) * ln_w / ln_out_scale
+    a_sign = jnp.sign(a)
+    a_abs = jnp.abs(a)
+    n = jnp.clip(7.0 - jnp.floor(jnp.log2(a_abs)), 0.0, 31.0)
+    p2n = jnp.exp2(n)
+    m = jnp.clip(jnp.floor(a_abs * p2n), 0.0, 255.0)
+    bb = jnp.round((ln_b - (mean / std) * ln_w) / ln_out_scale * p2n)
+    y = jnp.round((a_sign * m * x + bb) / p2n)
+    ln_o_ref[:] = jnp.clip(jnp.round(y * ratio), qmin, qmax).astype(jnp.int8)
+
+
+def _pad_vec(v, n, mult):
+    v = jnp.broadcast_to(jnp.asarray(v, jnp.float32), (n,))
+    pad = (-n) % mult
+    return jnp.pad(v, (0, pad)) if pad else v
+
+
+@functools.partial(
+    jax.jit, static_argnames=("qmin", "qmax", "block_m", "interpret")
+)
+def int8_matmul_res_ln(
+    x_q,
+    w_q,
+    requant_scale,
+    bias_scaled,
+    res_q,
+    s_mid,
+    s_res,
+    s_out,
+    ln_w,
+    ln_b,
+    ln_out_scale,
+    ratio,
+    qmin: int = -128,
+    qmax: int = 127,
+    block_m: int = 256,
+    interpret: bool = False,
+):
+    """Returns (res_codes, ln_codes), both (M, N) int8.
+
+    Requires the full output width in one block (N = C ≤ 2048), which holds
+    for every residual junction in the zoo (proj/fc2 have N = embed_dim).
+    ``s_out`` (the residual node's scale vector) supplies the LN's input
+    scale: s1 = min(s_out), ptf_mask = round(s_out/s1).
+    """
+    m, k = x_q.shape
+    n = w_q.shape[0]
+    if m % block_m:
+        for cand in (512, 384, 256, 128):
+            if m % cand == 0:
+                block_m = cand
+                break
+    npad = -(-n // 128) * 128
+    assert npad <= 2048, "residual+LN fusion needs the full row in one block"
+    x_p = x_q if m % block_m == 0 else jnp.pad(x_q, ((0, (-m) % block_m), (0, 0)))
+    w_p = jnp.pad(w_q, ((0, npad - n), (0, 0))) if npad != n else w_q
+    res_p = res_q if (m % block_m == 0 and npad == n) else jnp.pad(
+        res_q, ((0, (-m) % block_m), (0, npad - n))
+    )
+    rb = jnp.stack([_pad_vec(requant_scale, n, 128), _pad_vec(bias_scaled, n, 128)])
+    s_out_v = jnp.broadcast_to(jnp.asarray(s_out, jnp.float32), (n,))
+    s1 = s_out_v.min()
+    ptf_mask = jnp.round(s_out_v / s1)
+    vecs = jnp.stack(
+        [
+            _pad_vec(s_mid, n, 128),
+            _pad_vec(s_res, n, 128),
+            jnp.maximum(_pad_vec(s_out, n, 128), 1e-30),
+            _pad_vec(ptf_mask, n, 128),
+            _pad_vec(ln_w, n, 128),
+            _pad_vec(ln_b, n, 128),
+            jnp.maximum(_pad_vec(ln_out_scale, n, 128), 1e-30),
+            _pad_vec(ratio, n, 128),
+        ]
+    )
+    mp = x_p.shape[0]
+
+    res_out, ln_out = pl.pallas_call(
+        functools.partial(_kernel, qmin=qmin, qmax=qmax, c_true=float(n)),
+        grid=(mp // block_m,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((block_m, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((npad, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, npad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_m, npad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, npad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((block_m, npad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_m, npad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((mp, npad), jnp.int8),
+            jax.ShapeDtypeStruct((mp, npad), jnp.int8),
+        ),
+        interpret=interpret,
+    )(s1.reshape(1, 1), x_p, w_p, rb, res_p, vecs)
+    return res_out[:m, :n], ln_out[:m, :n]
+
+
+def int8_matmul_res_ln_ref(
+    x_q, w_q, requant_scale, bias_scaled, res_q, s_mid, s_res, s_out,
+    ln_w, ln_b, ln_out_scale, ratio, qmin=-128, qmax=127,
+):
+    """jnp twin: the exact two-step sequence this kernel fuses."""
+    from .matmul_int8 import int8_matmul_requant_res_ref
+
+    res_codes = int8_matmul_requant_res_ref(
+        x_q, w_q, requant_scale, bias_scaled, res_q, s_mid, s_res, s_out,
+        qmin, qmax,
+    )
+    n = w_q.shape[0]
+    s_out_v = jnp.broadcast_to(jnp.asarray(s_out, jnp.float32), (n,))
+    s1 = s_out_v.min()
+    mask = jnp.round(s_out_v / s1)
+    x = res_codes.astype(jnp.float32) * mask
+    c = float(n)
+    sx = x.sum(axis=1, keepdims=True)
+    sxx = (x * x).sum(axis=1, keepdims=True)
+    mean = (sx / c) * s1
+    std = (s1 / c) * jnp.sqrt(c * sxx - sx * sx)
+    lw = jnp.broadcast_to(jnp.asarray(ln_w, jnp.float32), (n,))[None, :]
+    lb = jnp.broadcast_to(jnp.asarray(ln_b, jnp.float32), (n,))[None, :]
+    osc = jnp.broadcast_to(jnp.asarray(ln_out_scale, jnp.float32), (n,))[None, :]
+    rat = jnp.broadcast_to(jnp.asarray(ratio, jnp.float32), (n,))[None, :]
+    a = (s1 / std) * lw / osc
+    a_sign = jnp.sign(a)
+    a_abs = jnp.abs(a)
+    nn = jnp.clip(7.0 - jnp.floor(jnp.log2(a_abs)), 0.0, 31.0)
+    p2n = jnp.exp2(nn)
+    mm = jnp.clip(jnp.floor(a_abs * p2n), 0.0, 255.0)
+    bb = jnp.round((lb - (mean / std) * lw) / osc * p2n)
+    y = jnp.round((a_sign * mm * x + bb) / p2n)
+    ln_codes = jnp.clip(jnp.round(y * rat), qmin, qmax).astype(jnp.int8)
+    return res_codes, ln_codes

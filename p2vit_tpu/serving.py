@@ -43,6 +43,7 @@ from .ops.matmul_int8 import (
     int8_matmul_requant_res,
     int8_matmul_requant_res_ref,
 )
+from .ops.matmul_ln import int8_matmul_res_ln, int8_matmul_res_ln_ref
 from .quant.intops import get_mn
 
 _I8 = (-128, 127)
@@ -202,7 +203,7 @@ def serving_forward(s, cfg: ViTConfig, x, interpret: bool = False,
                     use_pallas: bool = True):
     """Run the int8 pipeline on a f32 image batch; returns f32 logits."""
     mm = int8_matmul_requant if use_pallas else int8_matmul_requant_ref
-    mm_res = int8_matmul_requant_res if use_pallas else int8_matmul_requant_res_ref
+    mm_res_ln = int8_matmul_res_ln if use_pallas else int8_matmul_res_ln_ref
     mm_kw = {"interpret": interpret} if use_pallas else {}
     iln = functools.partial(_int_ln_codes, use_pallas=use_pallas, interpret=interpret)
 
@@ -229,13 +230,16 @@ def serving_forward(s, cfg: ViTConfig, x, interpret: bool = False,
     xc = jnp.clip(jnp.round(val / s["s_qact1"]), *_I8).astype(jnp.int8)
 
     s_prev = s["s_qact1"]
-    for sb in s["blocks"]:
+    # block 0's LN1 is standalone; every later LN is fused into the matmul
+    # that produces its input (proj+res+LN2, fc2+res+LN1-of-next-block)
+    qkv0 = s["blocks"][0]["qkv"]
+    h = iln(
+        xc, s_prev, s["blocks"][0]["norm1_w"], s["blocks"][0]["norm1_b"],
+        qkv0["s_act"] * qkv0["cs"], 1.0,
+    )
+    n_blocks = len(s["blocks"])
+    for bi, sb in enumerate(s["blocks"]):
         qkv = sb["qkv"]
-        # int-LN1 → qact0 codes (smoothing division folded into out_scale)
-        h = iln(
-            xc, s_prev, sb["norm1_w"], sb["norm1_b"],
-            qkv["s_act"] * qkv["cs"], 1.0,
-        )
         h2 = mm(
             h.reshape(-1, c),
             qkv["w_q"],
@@ -270,24 +274,23 @@ def serving_forward(s, cfg: ViTConfig, x, interpret: bool = False,
                 .reshape(b, n_tok, c)
             )
         pr = sb["proj"]
-        # proj matmul with the residual junction fused into the epilogue
-        xc = mm_res(
+        fc1 = sb["mlp_fc1"]
+        # proj matmul + residual junction + int-LN2 in ONE kernel: outputs
+        # the qact2 residual carrier AND the mlp's qact0 input codes
+        xc2, h = mm_res_ln(
             h.reshape(-1, c),
             pr["w_q"],
             sb["s_qact2a"] * pr["sw"] / sb["s_qact3"],
             pr["bias"] / sb["s_qact3"],
             xc.reshape(-1, c),
             sb["s_qact3"], s_prev, sb["s_res1"],
-            **mm_kw,
-        ).reshape(b, n_tok, c)
-
-        fc1 = sb["mlp_fc1"]
-        h = iln(
-            xc, sb["s_res1"], sb["norm2_w"], sb["norm2_b"],
+            sb["norm2_w"], sb["norm2_b"],
             fc1["s_act"] * sb["norm2_cs"], sb["norm2_ratio"],
+            **mm_kw,
         )
+        xc = xc2.reshape(b, n_tok, c)
         h = mm(
-            h.reshape(-1, c),
+            h,
             fc1["w_q"],
             fc1["s_act"] * fc1["sw"],
             fc1["bias"],
@@ -295,20 +298,32 @@ def serving_forward(s, cfg: ViTConfig, x, interpret: bool = False,
             gelu=True,
             **mm_kw,
         )
+        # fc2 + residual + the NEXT LayerNorm (next block's LN1, or the
+        # final encoder norm after the last block)
+        if bi + 1 < n_blocks:
+            nb = s["blocks"][bi + 1]
+            nqkv = nb["qkv"]
+            ln_w, ln_b = nb["norm1_w"], nb["norm1_b"]
+            ln_out, ratio = nqkv["s_act"] * nqkv["cs"], 1.0
+        else:
+            ln_w, ln_b = s["norm_w"], s["norm_b"]
+            ln_out, ratio = s["s_qact2"], 1.0
         fc2 = sb["fc2"]
-        xc = mm_res(
+        xc2, h = mm_res_ln(
             h,
             fc2["w_q"],
             sb["s_mq1"] * fc2["sw"] / sb["s_mq2"],
             fc2["bias"] / sb["s_mq2"],
             xc.reshape(-1, c),
             sb["s_mq2"], sb["s_res1"], sb["s_res2"],
+            ln_w, ln_b, ln_out, ratio,
             **mm_kw,
-        ).reshape(b, n_tok, c)
+        )
+        xc = xc2.reshape(b, n_tok, c)
+        h = h.reshape(b, n_tok, c)
         s_prev = sb["s_res2"]
 
-    xc = iln(xc, s_prev, s["norm_w"], s["norm_b"], s["s_qact2"], 1.0)
-    xc = xc[:, 0]
+    xc = h[:, 0]  # the last fusion already produced the final-norm codes
     hd = s["head"]
     logits_c = mm(
         xc,

@@ -50,6 +50,34 @@ def test_lis_attention_kernel_parity_interpret():
     assert np.asarray(out).min() >= -128 and np.asarray(out).max() <= 127
 
 
+def test_matmul_res_ln_kernel_parity_interpret():
+    from p2vit_tpu.ops.matmul_ln import int8_matmul_res_ln, int8_matmul_res_ln_ref
+
+    rng = np.random.RandomState(2)
+    m, k, n = 64, 96, 128
+    x = jnp.asarray(rng.randint(-128, 128, (m, k), dtype=np.int8))
+    w = jnp.asarray(rng.randint(-128, 128, (n, k), dtype=np.int8))
+    r = jnp.asarray(2.0 ** rng.randint(-12, -6, n).astype(np.float32))
+    bias = jnp.asarray(rng.randn(n).astype(np.float32))
+    res = jnp.asarray(rng.randint(-128, 128, (m, n), dtype=np.int8))
+    s_mid = jnp.asarray(np.abs(rng.randn(n)).astype(np.float32) * 0.02 + 0.01)
+    s_res = jnp.asarray(0.011 * 2.0 ** rng.randint(0, 4, n).astype(np.float32))
+    s_out = jnp.asarray(0.013 * 2.0 ** rng.randint(0, 4, n).astype(np.float32))
+    ln_w = jnp.asarray(rng.randn(n).astype(np.float32))
+    ln_b = jnp.asarray(rng.randn(n).astype(np.float32) * 0.1)
+    ln_out = jnp.asarray(np.abs(rng.randn(n)).astype(np.float32) * 0.03 + 0.01)
+    ratio = jnp.asarray(2.0 ** rng.randint(-1, 2, n).astype(np.float32))
+    out = int8_matmul_res_ln(
+        x, w, r, bias, res, s_mid, s_res, s_out, ln_w, ln_b, ln_out, ratio,
+        interpret=True,
+    )
+    ref = int8_matmul_res_ln_ref(
+        x, w, r, bias, res, s_mid, s_res, s_out, ln_w, ln_b, ln_out, ratio
+    )
+    np.testing.assert_array_equal(np.asarray(out[0]), np.asarray(ref[0]))
+    np.testing.assert_array_equal(np.asarray(out[1]), np.asarray(ref[1]))
+
+
 @pytest.mark.parametrize("bits", [[8], [4]])
 def test_serving_matches_simulation(bits):
     policy = make_policy()

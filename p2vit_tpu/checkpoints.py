@@ -29,13 +29,17 @@ import jax.numpy as jnp
 
 from .models.common import ViTConfig
 
-# torch-hub filenames for the 5 ViT/DeiT zoo entries (vit_fquant.py:960-1073)
+# torch-hub filenames for the 8 zoo entries (vit_fquant.py:960-1073;
+# swin_quant.py:934-994)
 HUB_FILES = {
     "deit_tiny_patch16_224": "deit_tiny_patch16_224-a1311bcf.pth",
     "deit_small_patch16_224": "deit_small_patch16_224-cd65a155.pth",
     "deit_base_patch16_224": "deit_base_patch16_224-b5f2ef4d.pth",
     "vit_base_patch16_224": "B_16-i21k-300ep-lr_0.001-aug_medium1-wd_0.1-do_0.0-sd_0.0--imagenet2012-steps_20k-lr_0.01-res_224.npz",
     "vit_large_patch16_224": "L_16-i21k-300ep-lr_0.001-aug_medium1-wd_0.1-do_0.0-sd_0.0--imagenet2012-steps_20k-lr_0.01-res_224.npz",
+    "swin_tiny_patch4_window7_224": "swin_tiny_patch4_window7_224.pth",
+    "swin_small_patch4_window7_224": "swin_small_patch4_window7_224.pth",
+    "swin_base_patch4_window7_224": "swin_base_patch4_window7_224.pth",
 }
 
 
@@ -166,7 +170,52 @@ def from_augreg_npz(npz, cfg: ViTConfig) -> dict:
     return params
 
 
-def load_pretrained(model_name: str, cfg: ViTConfig, path: str | None = None) -> dict:
+def from_torch_state_dict_swin(sd: dict, cfg) -> dict:
+    """Map the official Swin state_dict (microsoft/Swin-Transformer layout,
+    the checkpoints swin_quant.py:934-994 loads) onto the Swin params pytree.
+    ``attn_mask``/``relative_position_index`` buffers are recomputed, not
+    loaded (they are functions of the static geometry)."""
+
+    def g(k):
+        return jnp.asarray(sd[k])
+
+    params = {
+        "patch_embed": {
+            "w": g("patch_embed.proj.weight").reshape(cfg.embed_dim, -1),
+            "b": g("patch_embed.proj.bias"),
+        },
+        "patch_norm": {"w": g("patch_embed.norm.weight"), "b": g("patch_embed.norm.bias")},
+        "stages": [],
+        "norm": {"w": g("norm.weight"), "b": g("norm.bias")},
+        "head": {"w": g("head.weight"), "b": g("head.bias")},
+    }
+    for i, depth in enumerate(cfg.depths):
+        blocks = []
+        for j in range(depth):
+            p = f"layers.{i}.blocks.{j}."
+            blocks.append(
+                {
+                    "norm1": {"w": g(p + "norm1.weight"), "b": g(p + "norm1.bias")},
+                    "qkv": {"w": g(p + "attn.qkv.weight"), "b": g(p + "attn.qkv.bias")},
+                    "proj": {"w": g(p + "attn.proj.weight"), "b": g(p + "attn.proj.bias")},
+                    "bias_table": g(p + "attn.relative_position_bias_table"),
+                    "norm2": {"w": g(p + "norm2.weight"), "b": g(p + "norm2.bias")},
+                    "fc1": {"w": g(p + "mlp.fc1.weight"), "b": g(p + "mlp.fc1.bias")},
+                    "fc2": {"w": g(p + "mlp.fc2.weight"), "b": g(p + "mlp.fc2.bias")},
+                }
+            )
+        stage = {"blocks": blocks}
+        if i < cfg.num_layers - 1:
+            d = f"layers.{i}.downsample."
+            stage["downsample"] = {
+                "norm": {"w": g(d + "norm.weight"), "b": g(d + "norm.bias")},
+                "reduction": {"w": g(d + "reduction.weight"), "b": None},
+            }
+        params["stages"].append(stage)
+    return params
+
+
+def load_pretrained(model_name: str, cfg, path: str | None = None) -> dict:
     """Resolve + load pretrained weights for a zoo model from a local file.
 
     Looks in (1) explicit ``path``, (2) $TORCH_HOME/hub/checkpoints,
@@ -182,7 +231,10 @@ def load_pretrained(model_name: str, cfg: ViTConfig, path: str | None = None) ->
         if cand and os.path.exists(cand):
             if cand.endswith(".npz"):
                 return from_augreg_npz(np.load(cand), cfg)
-            return from_torch_state_dict(_torch_load_state_dict(cand), cfg)
+            sd = _torch_load_state_dict(cand)
+            if model_name.startswith("swin") or "layers.0.blocks.0.norm1.weight" in sd:
+                return from_torch_state_dict_swin(sd, cfg)
+            return from_torch_state_dict(sd, cfg)
     raise FileNotFoundError(
         f"no local checkpoint for {model_name}; expected {fname!r} under "
         "$TORCH_HOME/hub/checkpoints or pass an explicit path"

@@ -107,6 +107,55 @@ def test_torch_state_dict_roundtrip(tiny_model):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_augreg_npz_roundtrip(tiny_model):
+    """params -> AugReg Flax npz layout -> params is the identity."""
+    params, _ = tiny_model
+    c = TINY.embed_dim
+    hd = c // TINY.num_heads
+    npz = {
+        "cls": np.asarray(params["cls_token"]),
+        "Transformer/posembed_input/pos_embedding": np.asarray(params["pos_embed"]),
+        # (O, C*p*p) -> HWIO conv kernel
+        "embedding/kernel": np.asarray(params["patch_embed"]["w"]).reshape(
+            c, 3, 8, 8
+        ).transpose(2, 3, 1, 0),
+        "embedding/bias": np.asarray(params["patch_embed"]["b"]),
+        "Transformer/encoder_norm/scale": np.asarray(params["norm"]["w"]),
+        "Transformer/encoder_norm/bias": np.asarray(params["norm"]["b"]),
+        "head/kernel": np.asarray(params["head"]["w"]).T,
+        "head/bias": np.asarray(params["head"]["b"]),
+    }
+    for i, blk in enumerate(params["blocks"]):
+        b = f"Transformer/encoderblock_{i}/"
+        att = b + "MultiHeadDotProductAttention_1/"
+        qkv_w = np.asarray(blk["qkv"]["w"])  # (3C, C)
+        qkv_b = np.asarray(blk["qkv"]["b"])
+        for s, name in enumerate(("query", "key", "value")):
+            npz[att + f"{name}/kernel"] = qkv_w[s * c : (s + 1) * c].T.reshape(
+                c, TINY.num_heads, hd
+            )
+            npz[att + f"{name}/bias"] = qkv_b[s * c : (s + 1) * c].reshape(
+                TINY.num_heads, hd
+            )
+        npz[att + "out/kernel"] = np.asarray(blk["proj"]["w"]).T.reshape(
+            TINY.num_heads, hd, c
+        )
+        npz[att + "out/bias"] = np.asarray(blk["proj"]["b"])
+        npz[b + "LayerNorm_0/scale"] = np.asarray(blk["norm1"]["w"])
+        npz[b + "LayerNorm_0/bias"] = np.asarray(blk["norm1"]["b"])
+        npz[b + "LayerNorm_2/scale"] = np.asarray(blk["norm2"]["w"])
+        npz[b + "LayerNorm_2/bias"] = np.asarray(blk["norm2"]["b"])
+        npz[b + "MlpBlock_3/Dense_0/kernel"] = np.asarray(blk["fc1"]["w"]).T
+        npz[b + "MlpBlock_3/Dense_0/bias"] = np.asarray(blk["fc1"]["b"])
+        npz[b + "MlpBlock_3/Dense_1/kernel"] = np.asarray(blk["fc2"]["w"]).T
+        npz[b + "MlpBlock_3/Dense_1/bias"] = np.asarray(blk["fc2"]["b"])
+    re = checkpoints.from_augreg_npz(npz, TINY)
+    for a, b2 in zip(
+        jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(re)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b2), rtol=1e-6)
+
+
 def test_hessian_traces(tiny_model):
     from p2vit_tpu.hessian import hessian_traces, normalized_mean_hessian
 

@@ -55,6 +55,45 @@ def test_fp_forward(setup):
     assert jnp.isfinite(logits).all()
 
 
+def test_swin_state_dict_roundtrip(setup):
+    """params -> official-Swin-layout state_dict -> params is the identity."""
+    from p2vit_tpu import checkpoints
+
+    params, _ = setup
+    sd = {
+        "patch_embed.proj.weight": np.asarray(params["patch_embed"]["w"]).reshape(
+            TINY.embed_dim, 3, 4, 4
+        ),
+        "patch_embed.proj.bias": np.asarray(params["patch_embed"]["b"]),
+        "patch_embed.norm.weight": np.asarray(params["patch_norm"]["w"]),
+        "patch_embed.norm.bias": np.asarray(params["patch_norm"]["b"]),
+        "norm.weight": np.asarray(params["norm"]["w"]),
+        "norm.bias": np.asarray(params["norm"]["b"]),
+        "head.weight": np.asarray(params["head"]["w"]),
+        "head.bias": np.asarray(params["head"]["b"]),
+    }
+    for i, stage in enumerate(params["stages"]):
+        for j, blk in enumerate(stage["blocks"]):
+            p = f"layers.{i}.blocks.{j}."
+            sd[p + "attn.relative_position_bias_table"] = np.asarray(blk["bias_table"])
+            for ours, theirs in [
+                ("norm1", "norm1"), ("qkv", "attn.qkv"), ("proj", "attn.proj"),
+                ("norm2", "norm2"), ("fc1", "mlp.fc1"), ("fc2", "mlp.fc2"),
+            ]:
+                sd[p + theirs + ".weight"] = np.asarray(blk[ours]["w"])
+                sd[p + theirs + ".bias"] = np.asarray(blk[ours]["b"])
+        if "downsample" in stage:
+            d = f"layers.{i}.downsample."
+            sd[d + "norm.weight"] = np.asarray(stage["downsample"]["norm"]["w"])
+            sd[d + "norm.bias"] = np.asarray(stage["downsample"]["norm"]["b"])
+            sd[d + "reduction.weight"] = np.asarray(stage["downsample"]["reduction"]["w"])
+    re = checkpoints.from_torch_state_dict_swin(sd, TINY)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(re)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_calibrate_and_quant_forward(setup):
     params, x = setup
     policy = make_policy()

@@ -80,6 +80,15 @@ def main():
     )
     t_sim = _time_fn(quant_fn, x)
 
+    # LIS-off serving (Config(lis=False) reference variant: fp softmax over
+    # dequantized attention codes) — the faster deployment point
+    srv_fp_fn = jax.jit(
+        lambda xx: serving.serving_forward(
+            sstate, cfg, xx, use_pallas=on_accel, lis=False
+        )
+    )
+    t_srv_fp = _time_fn(srv_fp_fn, x)
+
     ips = batch / t_srv
     ips_fp = batch / t_fp
     print(
@@ -91,6 +100,7 @@ def main():
                 "vs_baseline": round(ips / ips_fp, 4),
                 "baseline_bf16_img_s": round(ips_fp, 2),
                 "sim_img_s": round(batch / t_sim, 2),
+                "lis_off_img_s": round(batch / t_srv_fp, 2),
                 "batch": batch,
                 "platform": jax.devices()[0].platform,
             }

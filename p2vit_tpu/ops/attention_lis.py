@@ -160,8 +160,18 @@ def lis_attention(
     return out[:, :n, :d]
 
 
+def _fp_softmax_from_scores(attn_c, s_attn, col, n_valid):
+    """fp32 softmax over the dequantized attention codes — the LIS-off path
+    (cfg.INT_SOFTMAX False → plain softmax, layers.py:439)."""
+    logits = attn_c * s_attn
+    logits = jnp.where(col < n_valid, logits, -jnp.inf)
+    e = jnp.exp(logits - logits.max(axis=-1, keepdims=True))
+    return e / e.sum(axis=-1, keepdims=True)
+
+
 def _fused_kernel(
-    s_ref, qkv_ref, o_ref, *, n_valid, lis_bits, qmin, qmax, c, d, num_heads
+    s_ref, qkv_ref, o_ref, *, n_valid, lis_bits, qmin, qmax, c, d, num_heads,
+    lis,
 ):
     """Per-image step: q/k/v head slices are STATIC offsets into the fused
     (N, 3C) qkv panel, so no head-split/merge transposes ever materialize in
@@ -178,7 +188,10 @@ def _fused_kernel(
         attn_c = jnp.clip(jnp.round(acc.astype(jnp.float32) * rq), qmin, qmax)
         col = jax.lax.broadcasted_iota(jnp.int32, attn_c.shape, 1)
         attn_c = jnp.where(col < n_valid, attn_c, jnp.float32(qmin))
-        attn_pot = _lis_from_scores(attn_c, s_attn, col, n_valid, lis_bits)
+        if lis:
+            attn_pot = _lis_from_scores(attn_c, s_attn, col, n_valid, lis_bits)
+        else:
+            attn_pot = _fp_softmax_from_scores(attn_c, s_attn, col, n_valid)
         av = jax.lax.dot_general(
             attn_pot,
             vm.astype(jnp.float32),
@@ -189,7 +202,9 @@ def _fused_kernel(
     o_ref[0] = jnp.concatenate(outs, axis=-1)
 
 
-@functools.partial(jax.jit, static_argnames=("num_heads", "lis_bits", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "lis_bits", "lis", "interpret")
+)
 def lis_attention_fused(
     qkv_q: jnp.ndarray,
     num_heads: int,
@@ -197,6 +212,7 @@ def lis_attention_fused(
     attn_scale,
     out_requant,
     lis_bits: int = 4,
+    lis: bool = True,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Fused quantized attention over the (B, N, 3C) fused-qkv codes.
@@ -223,7 +239,7 @@ def lis_attention_fused(
     out = pl.pallas_call(
         functools.partial(
             _fused_kernel, n_valid=n, lis_bits=lis_bits, qmin=-128.0, qmax=127.0,
-            c=c, d=d, num_heads=num_heads,
+            c=c, d=d, num_heads=num_heads, lis=lis,
         ),
         grid=(b,),
         in_specs=[
@@ -240,7 +256,7 @@ def lis_attention_fused(
 
 
 def lis_attention_ref(
-    q_q, k_q, v_q, score_requant, attn_scale, out_requant, lis_bits=4
+    q_q, k_q, v_q, score_requant, attn_scale, out_requant, lis_bits=4, lis=True
 ):
     """jnp reference twin (parity tests, CPU fallback)."""
     acc = jnp.einsum(
@@ -249,8 +265,10 @@ def lis_attention_ref(
     attn_c = jnp.clip(jnp.round(acc * score_requant), -128, 127)
     n = attn_c.shape[-1]
     col = jax.lax.broadcasted_iota(jnp.int32, attn_c.shape, 2)
-    attn_pot = _lis_from_scores(
-        attn_c, jnp.asarray(attn_scale, jnp.float32), col, n, lis_bits
-    )
+    sa = jnp.asarray(attn_scale, jnp.float32)
+    if lis:
+        attn_pot = _lis_from_scores(attn_c, sa, col, n, lis_bits)
+    else:
+        attn_pot = _fp_softmax_from_scores(attn_c, sa, col, n)
     av = jnp.einsum("bnm,bmd->bnd", attn_pot, v_q.astype(jnp.float32))
     return jnp.clip(jnp.round(av * out_requant), -128, 127).astype(jnp.int8)

@@ -65,9 +65,9 @@ def convert(params, qstate, cfg: ViTConfig, policy: QuantPolicy, bit_config) -> 
     freezes it (deploy-time), mirroring how the reference's accelerator
     would be programmed per searched config.
     """
-    assert policy.int_softmax and policy.int_norm, (
-        "the int8 serving path realizes the LIS+PTF pipeline; run the "
-        "simulation path for ablations without them"
+    assert policy.int_norm, (
+        "the int8 serving path requires the PTF integer-LN pipeline; run "
+        "the simulation path for ptf=False ablations"
     )
     bits = [int(b) for b in bit_config]
     n_idx = {4: 0, 8: 1}
@@ -145,6 +145,7 @@ def convert(params, qstate, cfg: ViTConfig, policy: QuantPolicy, bit_config) -> 
                             params["head"]["b"], bits[-1])
     s["s_out"] = qstate["act_out"]["scale"]
     s["bits"] = tuple(bits)
+    s["lis"] = 1 if policy.int_softmax else 0
     return s
 
 
@@ -198,10 +199,17 @@ def _requant_add(c_a, s_a, c_b, s_b, s_out):
     return jnp.clip(jnp.round(val / s_out), *_I8).astype(jnp.int8)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "interpret", "use_pallas"))
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "interpret", "use_pallas", "lis")
+)
 def serving_forward(s, cfg: ViTConfig, x, interpret: bool = False,
-                    use_pallas: bool = True):
-    """Run the int8 pipeline on a f32 image batch; returns f32 logits."""
+                    use_pallas: bool = True, lis: bool = True):
+    """Run the int8 pipeline on a f32 image batch; returns f32 logits.
+
+    ``lis``: Log-Int-Softmax on (the reference default) or the LIS-off fp
+    softmax over dequantized attention codes (Config(lis=False),
+    /root/reference/config.py:32-43; layers.py:439).
+    """
     mm = int8_matmul_requant if use_pallas else int8_matmul_requant_ref
     mm_res_ln = int8_matmul_res_ln if use_pallas else int8_matmul_res_ln_ref
     mm_kw = {"interpret": interpret} if use_pallas else {}
@@ -255,6 +263,7 @@ def serving_forward(s, cfg: ViTConfig, x, interpret: bool = False,
                 sb["s_qact1"] ** 2 * cfg.attn_scale / sb["s_attn1"],
                 sb["s_attn1"],
                 sb["s_qact1"] / sb["s_qact2a"],
+                lis=lis,
                 interpret=interpret,
             )
         else:
@@ -267,6 +276,7 @@ def serving_forward(s, cfg: ViTConfig, x, interpret: bool = False,
                 sb["s_qact1"] ** 2 * cfg.attn_scale / sb["s_attn1"],
                 sb["s_attn1"],
                 sb["s_qact1"] / sb["s_qact2a"],
+                lis=lis,
             )
             h = (
                 av.reshape(b, cfg.num_heads, n_tok, hd)

@@ -200,7 +200,8 @@ def main():
                     params, calib.qstate, cfg, policy, list(key)
                 )
             return serving.serving_forward(
-                _sstate_cache[key], cfg, x, use_pallas=on_accel
+                _sstate_cache[key], cfg, x, use_pallas=on_accel,
+                lis=policy.int_softmax,
             )
     elif args.quant:
         fwd = jax.jit(

@@ -11,4 +11,14 @@ bit shift fused into the matmul epilogue.
 
 __version__ = "0.1.0"
 
+import jax as _jax
+
+# Quantization decisions must be computed with true-f32 matmuls: JAX's
+# default matmul precision decomposes f32 into bf16 passes (~1e-3 relative
+# error on O(1) values — measured 0.11 absolute on a 192-deep reduction),
+# which silently perturbs the PoT/PTF searches away from the PyTorch
+# reference's float math. bf16-input matmuls (the serving/bf16-baseline hot
+# paths) are unaffected by this setting.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 from .config import QuantPolicy, make_policy

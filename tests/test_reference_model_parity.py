@@ -1,0 +1,188 @@
+"""Full-model golden parity: reference quantized ViT vs our rebuild.
+
+Instantiates the ACTUAL reference model (models/vit_fquant.VisionTransformer,
+CPU, .cuda() neutralized), loads OUR random weights into it, runs the
+reference's calibration protocol (model_open_calibrate →
+model_open_last_calibrate → one forward) and quantized evaluation, and
+compares against our jitted ``calibrate`` + ``quant_forward``:
+
+  * every activation quantizer scale and PTF mask,
+  * every per-bit weight scale dic,
+  * smoothquant channel scales,
+  * the final W8A8/W4A8 quantized logits.
+
+Scale comparisons are exact; logits allow f32 reduction-order slack
+(torch CPU vs XLA sum orders differ inside matmuls).
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REF, "models")), reason="reference not mounted"
+)
+
+torch = pytest.importorskip("torch")
+
+from p2vit_tpu.config import make_policy
+from p2vit_tpu.models.common import ViTConfig
+from p2vit_tpu.models import vit
+
+TINY = ViTConfig(
+    img_size=32, patch_size=8, num_classes=10, embed_dim=16, depth=2, num_heads=2
+)
+
+
+@pytest.fixture(scope="module")
+def ref_setup():
+    sys.path.insert(0, REF)
+    orig_t, orig_m = torch.Tensor.cuda, torch.nn.Module.cuda
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    torch.nn.Module.cuda = lambda self, *a, **k: self
+
+    from functools import partial
+
+    from config import Config
+    from models.ptq import QIntLayerNorm
+    from models.vit_fquant import VisionTransformer
+
+    cfg_ref = Config(True, True, "minmax")
+    model = VisionTransformer(
+        img_size=TINY.img_size,
+        patch_size=TINY.patch_size,
+        num_classes=TINY.num_classes,
+        embed_dim=TINY.embed_dim,
+        depth=TINY.depth,
+        num_heads=TINY.num_heads,
+        qkv_bias=True,
+        norm_layer=partial(QIntLayerNorm, eps=1e-6),  # vit_fquant.py:952
+        input_quant=True,
+        cfg=cfg_ref,
+    )
+    yield model
+    torch.Tensor.cuda, torch.nn.Module.cuda = orig_t, orig_m
+    sys.path.remove(REF)
+
+
+def _load_our_params(model, params):
+    """Copy our pytree into the reference model's modules."""
+    t = lambda a: torch.from_numpy(np.asarray(a, dtype=np.float32))
+    sd = model.state_dict()
+    sd["cls_token"] = t(params["cls_token"])
+    sd["pos_embed"] = t(params["pos_embed"])
+    sd["patch_embed.proj.weight"] = t(params["patch_embed"]["w"]).reshape(
+        TINY.embed_dim, 3, TINY.patch_size, TINY.patch_size
+    )
+    sd["patch_embed.proj.bias"] = t(params["patch_embed"]["b"])
+    names = {"norm1": "norm1", "qkv": "attn.qkv", "proj": "attn.proj",
+             "norm2": "norm2", "fc1": "mlp.fc1", "fc2": "mlp.fc2"}
+    for i, blk in enumerate(params["blocks"]):
+        for ours, theirs in names.items():
+            sd[f"blocks.{i}.{theirs}.weight"] = t(blk[ours]["w"])
+            sd[f"blocks.{i}.{theirs}.bias"] = t(blk[ours]["b"])
+    sd["norm.weight"] = t(params["norm"]["w"])
+    sd["norm.bias"] = t(params["norm"]["b"])
+    sd["head.weight"] = t(params["head"]["w"])
+    sd["head.bias"] = t(params["head"]["b"])
+    model.load_state_dict(sd)
+
+
+def test_full_model_parity(ref_setup):
+    model = ref_setup
+    params = vit.init_params(jax.random.PRNGKey(0), TINY)
+    _load_our_params(model, params)
+    x = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(1), (4, 3, 32, 32)), dtype=np.float32
+    )
+
+    # ---- reference calibration (SURVEY §3.1 protocol) ----
+    model.eval()
+    model.model_open_calibrate()
+    with torch.no_grad():
+        model.model_open_last_calibrate()
+        model(torch.from_numpy(x))
+    model.model_close_calibrate()
+    model.model_quant()
+
+    # ---- our calibration ----
+    policy = make_policy(True, True, "minmax")
+    calib = vit.calibrate(params, TINY, policy, jnp.asarray(x))
+    qs = calib.qstate
+
+    def close(ours, theirs, name, exact=True):
+        a = np.asarray(ours).reshape(-1)
+        b = theirs.detach().numpy().reshape(-1)
+        if exact:
+            np.testing.assert_array_equal(a, b, err_msg=name)
+        else:
+            np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7, err_msg=name)
+
+    # model-level activation quantizers (PoT scales must match exactly)
+    close(qs["qact_input"]["scale"], model.qact_input.quantizer.scale, "qact_input")
+    close(qs["patch"]["qact"]["scale"], model.patch_embed.qact.quantizer.scale,
+          "patch qact")
+    close(qs["qact_embed"]["scale"], model.qact_embed.quantizer.scale, "qact_embed")
+    close(qs["qact_pos"]["scale"], model.qact_pos.quantizer.scale, "qact_pos")
+    # PTF scales: float (not PoT) → reduction-order slack
+    close(qs["qact1"]["scale"], model.qact1.quantizer.scale, "qact1 PTF",
+          exact=False)
+    close(qs["qact2"]["scale"], model.qact2.quantizer.scale, "final qact2")
+
+    for i, blk in enumerate(model.blocks):
+        bq = qs["blocks"][i]
+        aq, mq = bq["attn"], bq["mlp"]
+        # smoothquant channel scale (PoT, exact) and per-bit weight dics
+        close(aq["channel_scale"][1], blk.attn.channel_scale, f"b{i} attn cs")
+        close(mq["channel_scale"][1], blk.mlp.channel_scale, f"b{i} mlp cs")
+        for j, bname in enumerate(["uint3", "uint4", "int4", "int8"]):
+            close(
+                aq["wscale"][1][j],
+                blk.attn.qkv.quantizer.dic_scale[bname]
+                * torch.ones(3 * TINY.embed_dim),
+                f"b{i} qkv wscale {bname}",
+            )
+            close(
+                aq["proj_wscale"][j],
+                blk.attn.proj.quantizer.dic_scale[bname]
+                * torch.ones(TINY.embed_dim),
+                f"b{i} proj wscale {bname}",
+            )
+        close(aq["qact0_scale"][1], blk.attn.qact0.quantizer.scale, f"b{i} qact0")
+        close(aq["qact1"]["scale"], blk.attn.qact1.quantizer.scale, f"b{i} a.qact1")
+        close(aq["qact_attn1"]["scale"], blk.attn.qact_attn1.quantizer.scale,
+              f"b{i} attn1")
+        close(aq["qact2"]["scale"], blk.attn.qact2.quantizer.scale, f"b{i} a.qact2")
+        close(aq["qact3"]["scale"], blk.attn.qact3.quantizer.scale, f"b{i} a.qact3",
+              exact=False)
+        close(bq["qact2"]["scale"], blk.qact2.quantizer.scale, f"b{i} qact2",
+              exact=False)
+        close(bq["qact4"]["scale"], blk.qact4.quantizer.scale, f"b{i} qact4",
+              exact=False)
+        close(mq["qact1"]["scale"], blk.mlp.qact1.quantizer.scale, f"b{i} m.qact1")
+        close(mq["qact2"]["scale"], blk.mlp.qact2.quantizer.scale, f"b{i} m.qact2",
+              exact=False)
+
+    # ---- quantized logits ----
+    n = TINY.num_matmuls
+    for bits in (8, 4):
+        bit_config = [bits] * n
+        with torch.no_grad():
+            ref_out = model(torch.from_numpy(x), bit_config=bit_config)
+            ref_logits = ref_out[0].numpy() if isinstance(ref_out, tuple) else ref_out.numpy()
+        ours = np.asarray(
+            vit.quant_forward(
+                params, qs, TINY, policy, jnp.asarray(x), vit.bits_to_idx(bit_config)
+            )
+        )
+        rel = np.linalg.norm(ours - ref_logits) / max(
+            np.linalg.norm(ref_logits), 1e-9
+        )
+        assert rel < 2e-2, f"W{bits}A8 logits diverge from reference: rel={rel}"
+        assert (ours.argmax(1) == ref_logits.argmax(1)).all()

@@ -21,4 +21,18 @@ import jax as _jax
 # paths) are unaffected by this setting.
 _jax.config.update("jax_default_matmul_precision", "highest")
 
+# When the caller explicitly requests CPU (JAX_PLATFORMS=cpu — tests, CLI
+# smoke runs, virtual-mesh dry runs), drop the axon TPU plugin before any
+# backend initializes: its get_backend hook forces jax_platforms="axon,cpu"
+# and initializes the tunnel client inside backends() even for CPU-only use,
+# so an unresponsive tunnel would hang the process in make_c_api_client.
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS", "") == "cpu":
+    from jax._src import xla_bridge as _xb
+
+    if not _xb.backends_are_initialized():
+        _xb._backend_factories.pop("axon", None)
+        _jax.config.update("jax_platforms", "cpu")
+
 from .config import QuantPolicy, make_policy

@@ -13,4 +13,15 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax
 
+# The axon TPU plugin (registered at interpreter startup via the
+# sitecustomize in /root/.axon_site) forces jax_platforms="axon,cpu" and
+# makes backends() initialize its tunnel client even when only CPU is
+# requested; if the tunnel is unresponsive, every test hangs in
+# make_c_api_client. Tests are CPU-only by design — unregister the factory
+# before any backend initializes.
+from jax._src import xla_bridge as _xb
+
+_xb._backend_factories.pop("axon", None)
+jax.config.update("jax_platforms", "cpu")
+
 jax.config.update("jax_enable_x64", False)

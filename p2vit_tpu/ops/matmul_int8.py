@@ -126,8 +126,10 @@ def int8_matmul_requant(
     m, k = x_q.shape
     n = w_q.shape[0]
     block_m, block_n = _pick_blocks(m, n, block_m, block_n)
-    x_p = _pad_to(x_q, 0, block_m)
-    w_p = _pad_to(w_q, 0, block_n)
+    # K must be a lane multiple for the int8 MXU; zero-pad (exact)
+    x_p = _pad_to(_pad_to(x_q, 0, block_m), 1, 128)
+    w_p = _pad_to(_pad_to(w_q, 0, block_n), 1, 128)
+    k = x_p.shape[1]
     r_p = _pad_to(requant_scale.astype(jnp.float32), 0, block_n).reshape(1, -1)
     b_p = _pad_to(bias_scaled.astype(jnp.float32), 0, block_n).reshape(1, -1)
     s = jnp.asarray(out_inv, jnp.float32).reshape(1, 1)
@@ -208,8 +210,9 @@ def int8_matmul_requant_res(
     m, k = x_q.shape
     n = w_q.shape[0]
     block_m, block_n = _pick_blocks(m, n, block_m, block_n)
-    x_p = _pad_to(x_q, 0, block_m)
-    w_p = _pad_to(w_q, 0, block_n)
+    x_p = _pad_to(_pad_to(x_q, 0, block_m), 1, 128)
+    w_p = _pad_to(_pad_to(w_q, 0, block_n), 1, 128)
+    k = x_p.shape[1]
     r_p = _pad_to(requant_scale.astype(jnp.float32), 0, block_n).reshape(1, -1)
     b_p = _pad_to(bias_scaled.astype(jnp.float32), 0, block_n).reshape(1, -1)
     res_p = _pad_to(_pad_to(res_q, 0, block_m), 1, block_n)

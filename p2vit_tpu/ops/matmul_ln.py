@@ -112,8 +112,10 @@ def int8_matmul_res_ln(
                 break
     npad = -(-n // 128) * 128
     assert npad <= 2048, "residual+LN fusion needs the full row in one block"
-    x_p = x_q if m % block_m == 0 else jnp.pad(x_q, ((0, (-m) % block_m), (0, 0)))
-    w_p = jnp.pad(w_q, ((0, npad - n), (0, 0))) if npad != n else w_q
+    kpad = (-k) % 128  # K must be a lane multiple for the int8 MXU
+    x_p = jnp.pad(x_q, ((0, (-m) % block_m), (0, kpad)))
+    w_p = jnp.pad(w_q, ((0, npad - n), (0, kpad)))
+    k = k + kpad
     res_p = res_q if (m % block_m == 0 and npad == n) else jnp.pad(
         res_q, ((0, (-m) % block_m), (0, npad - n))
     )

@@ -1,0 +1,314 @@
+"""Int8 serving pipeline for the quantized Swin family.
+
+Code-domain counterpart of models/swin.py::quant_forward (which itself makes
+the reference's stale Swin path work — SURVEY §2 ⚠). The per-token matmuls
+(qkv/proj/fc1/fc2/reduction — the FLOPs bulk of Swin) run on the Pallas int8
+shift-requant kernels; the windowed attention (49-token windows, head_dim 32
+— far below MXU tile size) runs the same integer math in XLA, where the
+tiny-window shapes schedule better than a Pallas grid of B·nW micro-steps.
+
+Weight bit is uniform (models/swin.py rationale); activations int8.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import QuantPolicy
+from .models.swin import (
+    SwinConfig,
+    _merge_patches,
+    _patches,
+    relative_position_index,
+    shift_attn_mask,
+    window_partition,
+    window_reverse,
+)
+from .ops.attention_lis import _fp_softmax_from_scores, _lis_from_scores
+from .ops.intln import int_ln_requant
+from .ops.matmul_int8 import int8_matmul_requant, int8_matmul_requant_ref
+
+_I8 = (-128, 127)
+_ROW = {4: 2, 8: 3}
+_BOUNDS = {4: (-8, 7), 8: (-128, 127)}
+
+
+def convert(params, qstate, cfg: SwinConfig, policy: QuantPolicy, w_bit: int = 8):
+    """Freeze int8 weight codes + requant constants for a uniform w_bit."""
+    assert policy.int_norm, "Swin serving requires the PTF integer-LN pipeline"
+    row = _ROW[w_bit]
+    qmin, qmax = _BOUNDS[w_bit]
+
+    def wq(w, dic):
+        sw = dic[row]
+        return {
+            "w_q": jnp.clip(jnp.round(w / sw[:, None]), qmin, qmax).astype(jnp.int8),
+            "sw": sw,
+        }
+
+    s: dict = {
+        "patch": wq(params["patch_embed"]["w"], qstate["patch_wscale"]),
+        "patch_b": params["patch_embed"]["b"],
+        "head": wq(params["head"]["w"], qstate["head_wscale"]),
+        "head_b": params["head"]["b"],
+        "lis": 1 if policy.int_softmax else 0,
+        "stages": [],
+    }
+    for i, stage in enumerate(params["stages"]):
+        sq = qstate["stages"][i]
+        st = {"blocks": []}
+        for j, blk in enumerate(stage["blocks"]):
+            bq = sq["blocks"][j]
+            st["blocks"].append(
+                {
+                    "qkv": wq(blk["qkv"]["w"], bq["attn"]["qkv_wscale"]),
+                    "qkv_b": blk["qkv"]["b"],
+                    "proj": wq(blk["proj"]["w"], bq["attn"]["proj_wscale"]),
+                    "proj_b": blk["proj"]["b"],
+                    "fc1": wq(blk["fc1"]["w"], bq["fc1_wscale"]),
+                    "fc1_b": blk["fc1"]["b"],
+                    "fc2": wq(blk["fc2"]["w"], bq["fc2_wscale"]),
+                    "fc2_b": blk["fc2"]["b"],
+                    "bias_table": blk["bias_table"],
+                    "norm1": blk["norm1"],
+                    "norm2": blk["norm2"],
+                }
+            )
+        if "downsample" in stage:
+            ds = stage["downsample"]
+            st["downsample"] = {
+                "red": wq(ds["reduction"]["w"], sq["downsample"]["red_wscale"]),
+                "norm": ds["norm"],
+            }
+        s["stages"].append(st)
+    s["patch_norm"] = params["patch_norm"]
+    s["norm"] = params["norm"]
+    return s
+
+
+def _iln(codes, s_in, lnp, out_scale, expand=1, interpret=False, use_pallas=True):
+    """Integer LN on codes with optional PatchMerging scale tiling."""
+    c = codes.shape[-1]
+    s_in_v = jnp.broadcast_to(jnp.asarray(s_in, jnp.float32), (c // expand,))
+    if expand != 1:
+        s_in_v = jnp.tile(s_in_v, expand)
+    s1 = s_in_v.min()
+    mask = jnp.round(s_in_v / s1)
+    if use_pallas:
+        out = int_ln_requant(
+            codes.reshape(-1, c), mask, s1, lnp["w"], lnp["b"],
+            jnp.broadcast_to(jnp.asarray(out_scale, jnp.float32), (c,)),
+            jnp.ones((c,)), interpret=interpret,
+        )
+        return out.reshape(codes.shape)
+    x = codes.astype(jnp.float32) * mask
+    sx = x.sum(axis=-1, keepdims=True)
+    sxx = (x * x).sum(axis=-1, keepdims=True)
+    mean = (sx / c) * s1
+    std = (s1 / c) * jnp.sqrt(c * sxx - sx * sx)
+    a = (s1 / std) * lnp["w"] / out_scale
+    a_sign = jnp.sign(a)
+    a_abs = jnp.abs(a)
+    n = jnp.clip(7.0 - jnp.floor(jnp.log2(a_abs)), 0.0, 31.0)
+    p2n = jnp.exp2(n)
+    m = jnp.clip(jnp.floor(a_abs * p2n), 0.0, 255.0)
+    bb = jnp.round((lnp["b"] - (mean / std) * lnp["w"]) / out_scale * p2n)
+    y = jnp.round((a_sign * m * x + bb) / p2n)
+    return jnp.clip(jnp.round(y), *_I8).astype(jnp.int8)
+
+
+def _requant(codes, ratio):
+    return jnp.clip(jnp.round(codes.astype(jnp.float32) * ratio), *_I8)
+
+
+def _window_attention_codes(
+    hw, sb, bq, cfg, stage, mask, lis, n_heads
+):
+    """Windowed attention on codes, integer math in XLA.
+
+    Mirrors swin.quant_forward's attention: q·scale@kᵀ → qact_attn1 →
+    +bias(qact_table) → qact2 → (+mask) → LIS/softmax → @v → qact3 codes.
+    """
+    aq = bq["attn"]
+    b_, n, c3 = hw.shape
+    c = c3 // 3
+    hd = c // n_heads
+    ws = int(round(np.sqrt(n)))
+    qkv = hw.reshape(b_, n, 3, n_heads, hd).transpose(2, 0, 3, 1, 4)
+    q, k, v = qkv[0], qkv[1], qkv[2]
+    s1 = aq["qact1"]["scale"]
+    acc = jnp.einsum(
+        "bhnd,bhmd->bhnm", q.astype(jnp.int32), k.astype(jnp.int32)
+    ).astype(jnp.float32)
+    # attn = fq(q*scale @ k^T) at qact_attn1
+    attn_c = jnp.clip(
+        jnp.round(acc * (s1**2 * hd**-0.5 / aq["qact_attn1"]["scale"])), *_I8
+    )
+    # + relative position bias (bias table fake-quantized at qact_table)
+    table_q = jnp.clip(
+        jnp.round(sb["bias_table"] / aq["qact_table"]["scale"]), *_I8
+    )
+    idx = relative_position_index(ws).reshape(-1)
+    bias_val = (
+        (table_q[idx] * aq["qact_table"]["scale"])
+        .reshape(n, n, n_heads)
+        .transpose(2, 0, 1)
+    )
+    s2 = aq["qact2"]["scale"]
+    attn2 = jnp.clip(
+        jnp.round(
+            (attn_c * aq["qact_attn1"]["scale"] + bias_val[None]) / s2
+        ),
+        *_I8,
+    )
+    if mask is not None:
+        nw = mask.shape[0]
+        attn2 = attn2.reshape(b_ // nw, nw, n_heads, n, n) + (mask / s2)[
+            None, :, None
+        ]
+        attn2 = attn2.reshape(b_, n_heads, n, n)
+    col = jax.lax.broadcasted_iota(jnp.int32, attn2.shape, 3)
+    if lis:
+        attn_p = _lis_from_scores(attn2, s2, col, n, 4)
+    else:
+        attn_p = _fp_softmax_from_scores(attn2, s2, col, n)
+    av = jnp.einsum("bhnm,bhmd->bhnd", attn_p, v.astype(jnp.float32))
+    out = av.transpose(0, 2, 1, 3).reshape(b_, n, c)
+    return jnp.clip(jnp.round(out * (s1 / aq["qact3"]["scale"])), *_I8).astype(
+        jnp.int8
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "policy", "interpret", "use_pallas")
+)
+def serving_forward(s, qstate, cfg: SwinConfig, policy: QuantPolicy, x,
+                    interpret: bool = False, use_pallas: bool = True):
+    """Run the Swin int8 pipeline on an fp image batch; returns f32 logits.
+
+    The patch conv runs fp (Swin has no input quantizer — constructors never
+    pass input_quant, swin_quant.py:917-930), then everything downstream is
+    int8 codes.
+    """
+    mm = int8_matmul_requant if use_pallas else int8_matmul_requant_ref
+    mm_kw = {"interpret": interpret} if use_pallas else {}
+    lis = bool(policy.int_softmax)
+    b = x.shape[0]
+
+    # fp patch stem against fake-quantized weights (sim parity)
+    pw = s["patch"]["w_q"].astype(jnp.float32) * s["patch"]["sw"][:, None]
+    h = _patches(x, cfg.patch_size) @ pw.T + s["patch_b"]
+    sq_bn = qstate["patch_qact_bn"]["scale"]
+    xc = jnp.clip(jnp.round(h / sq_bn), *_I8).astype(jnp.int8)
+    xc = _iln(xc, sq_bn, s["patch_norm"], qstate["patch_qact"]["scale"],
+              interpret=interpret, use_pallas=use_pallas)
+    s_prev = qstate["patch_qact"]["scale"]
+
+    for i, st in enumerate(s["stages"]):
+        res = cfg.stage_res(i)
+        ws = min(cfg.window_size, res)
+        heads = cfg.num_heads[i]
+        sqs = qstate["stages"][i]
+        for j, sb in enumerate(st["blocks"]):
+            bq = sqs["blocks"][j]
+            shift = 0 if (j % 2 == 0 or res <= cfg.window_size) else ws // 2
+            bs, l, c = xc.shape
+            shortcut = xc
+            h = _iln(xc, s_prev, sb["norm1"], bq["qact1"]["scale"],
+                     interpret=interpret, use_pallas=use_pallas)
+            h = h.reshape(bs, res, res, c)
+            if shift:
+                h = jnp.roll(h, (-shift, -shift), axis=(1, 2))
+            hw = window_partition(h, ws)
+            aq = bq["attn"]
+            hw = mm(
+                hw.reshape(-1, c),
+                sb["qkv"]["w_q"],
+                bq["qact1"]["scale"] * sb["qkv"]["sw"] / aq["qact1"]["scale"],
+                sb["qkv_b"] / aq["qact1"]["scale"],
+                **mm_kw,
+            ).reshape(-1, ws * ws, 3 * c)
+            mask = (
+                jnp.asarray(shift_attn_mask(res, res, ws, shift)) if shift else None
+            )
+            hw = _window_attention_codes(hw, sb, bq, cfg, i, mask, lis, heads)
+            hw = mm(
+                hw.reshape(-1, c),
+                sb["proj"]["w_q"],
+                aq["qact3"]["scale"] * sb["proj"]["sw"] / aq["qact4"]["scale"],
+                sb["proj_b"] / aq["qact4"]["scale"],
+                **mm_kw,
+            ).reshape(-1, ws, ws, c)
+            h = window_reverse(hw.reshape(-1, ws * ws, c), ws, res, res)
+            if shift:
+                h = jnp.roll(h, (shift, shift), axis=(1, 2))
+            h = h.reshape(bs, l, c)
+            # residual requant-add → block qact2 codes
+            val = (
+                shortcut.astype(jnp.float32) * s_prev
+                + h.astype(jnp.float32) * aq["qact4"]["scale"]
+            )
+            xc = jnp.clip(jnp.round(val / bq["qact2"]["scale"]), *_I8).astype(
+                jnp.int8
+            )
+            h = _iln(xc, bq["qact2"]["scale"], sb["norm2"], bq["qact3"]["scale"],
+                     interpret=interpret, use_pallas=use_pallas)
+            h = mm(
+                h.reshape(-1, c),
+                sb["fc1"]["w_q"],
+                bq["qact3"]["scale"] * sb["fc1"]["sw"],
+                sb["fc1_b"],
+                out_inv=1.0 / bq["mlp_qact1"]["scale"],
+                gelu=True,
+                **mm_kw,
+            )
+            h = mm(
+                h,
+                sb["fc2"]["w_q"],
+                bq["mlp_qact1"]["scale"] * sb["fc2"]["sw"] / bq["mlp_qact2"]["scale"],
+                sb["fc2_b"] / bq["mlp_qact2"]["scale"],
+                **mm_kw,
+            ).reshape(bs, l, c)
+            val = (
+                xc.astype(jnp.float32) * bq["qact2"]["scale"]
+                + h.astype(jnp.float32) * bq["mlp_qact2"]["scale"]
+            )
+            xc = jnp.clip(jnp.round(val / bq["qact4"]["scale"]), *_I8).astype(
+                jnp.int8
+            )
+            s_prev = bq["qact4"]["scale"]
+        if "downsample" in st:
+            dq = sqs["downsample"]
+            xc = _merge_patches(xc, res)
+            xc = _iln(xc, s_prev, st["downsample"]["norm"], dq["qact1"]["scale"],
+                      expand=4, interpret=interpret, use_pallas=use_pallas)
+            c2 = xc.shape[-1]
+            xc = mm(
+                xc.reshape(-1, c2),
+                st["downsample"]["red"]["w_q"],
+                dq["qact1"]["scale"] * st["downsample"]["red"]["sw"]
+                / dq["qact2"]["scale"],
+                jnp.zeros((c2 // 2,)),
+                **mm_kw,
+            ).reshape(b, -1, c2 // 2)
+            s_prev = dq["qact2"]["scale"]
+
+    xc = _iln(xc, s_prev, s["norm"], qstate["qact2"]["scale"],
+              interpret=interpret, use_pallas=use_pallas)
+    # token average → qact3 codes (swin_quant.py:904-905)
+    mean_val = xc.astype(jnp.float32).mean(axis=1) * qstate["qact2"]["scale"]
+    c3 = jnp.clip(jnp.round(mean_val / qstate["qact3"]["scale"]), *_I8).astype(
+        jnp.int8
+    )
+    logits_c = mm(
+        c3,
+        s["head"]["w_q"],
+        qstate["qact3"]["scale"] * s["head"]["sw"] / qstate["act_out"]["scale"],
+        s["head_b"] / qstate["act_out"]["scale"],
+        **mm_kw,
+    )
+    return logits_c.astype(jnp.float32) * qstate["act_out"]["scale"]

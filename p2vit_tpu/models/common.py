@@ -130,6 +130,25 @@ def trunc_normal(key, shape, std=0.02, dtype=jnp.float32):
     return std * jax.random.truncated_normal(key, -2.0, 2.0, shape, dtype)
 
 
+def hybrid_embed(backbone_fn, x, proj_w, proj_b=None):
+    """CNN-backbone patch embedding (reference HybridEmbed,
+    /root/reference/models/layers_quant.py:500-542).
+
+    The reference wraps a timm CNN backbone: run it, take the final feature
+    map (B, C_feat, H', W') (or (B, N, C_feat) if already token-shaped),
+    flatten spatial dims to tokens, and apply a 1x1-conv projection —
+    identical to a per-token linear. None of the 8 registered models use it
+    (all are pure patch-conv stems), so like the reference it is an
+    unquantized utility; ``backbone_fn`` is any JAX callable, keeping the
+    framework free of a bundled CNN zoo (timm is unavailable here anyway).
+    """
+    feat = backbone_fn(x)
+    if feat.ndim == 4:  # (B, C_feat, H', W') -> (B, H'*W', C_feat)
+        b, c, h, w = feat.shape
+        feat = feat.reshape(b, c, h * w).transpose(0, 2, 1)
+    return linear(feat, proj_w, proj_b)
+
+
 def vit_flops(cfg: ViTConfig) -> list:
     """Analytic per-matmul cost vector, one entry per bit_config slot.
 

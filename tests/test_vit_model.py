@@ -105,3 +105,27 @@ def test_smoothquant_channel_scales_pot(setup):
     cs = calib.qstate["blocks"][0]["attn"]["channel_scale"]
     exps = jnp.log2(cs)
     assert jnp.allclose(exps, jnp.round(exps), atol=1e-6)
+
+
+def test_hybrid_embed():
+    """HybridEmbed: backbone feature map -> tokens -> linear projection
+    (reference layers_quant.py:500-542; 4D and 3D backbone outputs)."""
+    from p2vit_tpu.models.common import hybrid_embed
+
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (2, 3, 32, 32))
+    w = jax.random.normal(jax.random.PRNGKey(1), (16, 8)) * 0.1
+    b = jnp.zeros((16,))
+
+    def backbone4d(img):  # stand-in CNN: 4x4 average pool + channel lift
+        pooled = img.reshape(2, 3, 8, 4, 8, 4).mean(axis=(3, 5))
+        return jnp.concatenate([pooled, pooled, pooled[:, :2]], axis=1)
+
+    out = hybrid_embed(backbone4d, x, w, b)
+    assert out.shape == (2, 64, 16)
+    feat = backbone4d(x)
+    manual = feat.reshape(2, 8, 64).transpose(0, 2, 1) @ w.T + b
+    assert jnp.allclose(out, manual, atol=1e-6)
+    # token-shaped backbone output passes through untouched
+    out3d = hybrid_embed(lambda img: jnp.ones((2, 5, 8)), x, w, b)
+    assert out3d.shape == (2, 5, 16)

@@ -15,34 +15,17 @@ Paths measured on the single local chip:
 from __future__ import annotations
 
 import json
-import time
 
 import jax
 import jax.numpy as jnp
 
 
 def _time_fn(step, x, iters=10):
-    """Time ``step(x) -> logits`` per iteration, looping ON DEVICE.
+    """On-device loop timing (see p2vit_tpu.profiling.device_time for why:
+    host-side timing through the axon tunnel measures RTT, not compute)."""
+    from p2vit_tpu.profiling import device_time
 
-    On the axon-tunneled TPU, ``jax.block_until_ready`` does not synchronize
-    and every eager dispatch costs a tunnel round trip, so host-side loops
-    measure RTT, not compute. The chain runs inside one jit (each
-    iteration's input data-depends on the previous logits, forcing serial
-    execution) and a single scalar fetch closes the measurement.
-    """
-
-    @jax.jit
-    def run(x0):
-        def body(_, acc):
-            y = step(x0 + (0.0 * acc).astype(x0.dtype))
-            return y.sum().astype(jnp.float32)
-
-        return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
-
-    float(run(x))  # compile + warm
-    t0 = time.perf_counter()
-    float(run(x))
-    return (time.perf_counter() - t0) / iters
+    return device_time(step, x, iters=iters, repeats=2)
 
 
 def main():
@@ -89,6 +72,30 @@ def main():
     )
     t_srv_fp = _time_fn(srv_fp_fn, x)
 
+    # Swin-Tiny int8 serving (guarded: secondary metric, never fails bench)
+    swin_ips = None
+    try:
+        from p2vit_tpu.models import SWIN_ZOO
+        from p2vit_tpu.models import swin as swin_mod
+        from p2vit_tpu import serving_swin
+
+        scfg = SWIN_ZOO["swin_tiny_patch4_window7_224"]
+        sbatch = 64 if on_accel else 4
+        sparams = swin_mod.init_params(jax.random.PRNGKey(2), scfg)
+        sx = jax.random.normal(
+            jax.random.PRNGKey(3), (sbatch, 3, 224, 224), jnp.float32
+        )
+        scalib = swin_mod.calibrate(sparams, scfg, policy, sx[:8])
+        ss = serving_swin.convert(sparams, scalib.qstate, scfg, policy, 8)
+        swin_fn = jax.jit(
+            lambda xx: serving_swin.serving_forward(
+                ss, scalib.qstate, scfg, policy, xx, use_pallas=on_accel
+            )
+        )
+        swin_ips = round(sbatch / _time_fn(swin_fn, sx), 2)
+    except Exception as e:  # pragma: no cover - hardware dependent
+        swin_ips = f"unavailable: {type(e).__name__}"
+
     ips = batch / t_srv
     ips_fp = batch / t_fp
     print(
@@ -101,6 +108,7 @@ def main():
                 "baseline_bf16_img_s": round(ips_fp, 2),
                 "sim_img_s": round(batch / t_sim, 2),
                 "lis_off_img_s": round(batch / t_srv_fp, 2),
+                "swin_tiny_img_s": swin_ips,
                 "batch": batch,
                 "platform": jax.devices()[0].platform,
             }

@@ -1,0 +1,113 @@
+"""Tracing / profiling utilities (SURVEY §5 aux subsystem).
+
+The reference's only instrumentation is wall-clock batch timing
+(/root/reference/test_quant.py:475-527) plus the analytical FLOPs
+accumulator threaded through forward (vit_fquant.py:369,399,921). The
+TPU-native equivalents here:
+
+* ``device_time`` — trustworthy per-iteration device timing. On the
+  axon-tunneled TPU, ``jax.block_until_ready`` does NOT synchronize and
+  every eager dispatch costs a host round trip, so host-side loops measure
+  RTT instead of compute. The harness loops ON DEVICE (``lax.fori_loop``
+  inside one jit, iterations serialized through an f32 data dependency —
+  integer ``*0`` chains get constant-folded) and fetches one scalar.
+* ``trace`` — context manager around the XLA profiler for TensorBoard /
+  xprof dumps where the platform supports it.
+* ``cost_model`` — the analytical per-matmul multiply counts used as the
+  model-size proxy by the mixed-precision search (kept as pure data, one
+  entry per bit_config slot).
+* ``AverageMeter`` — running mean for eval loops, mirroring the
+  reference's meter semantics (test_quant.py:530-546).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def device_time(step, x, iters: int = 10, repeats: int = 3) -> float:
+    """Best-of-``repeats`` seconds per call of ``step(x) -> array``.
+
+    ``step`` must be jit-compatible; the returned array's sum is used as the
+    serializing data dependency between iterations.
+    """
+
+    @jax.jit
+    def run(x0):
+        def body(_, acc):
+            y = step(x0 + (0.0 * acc).astype(x0.dtype))
+            return y.sum().astype(jnp.float32)
+
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+
+    float(run(x))  # compile + warm
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(run(x))
+        best = min(best, time.perf_counter() - t0)
+    return best / iters
+
+
+@contextlib.contextmanager
+def trace(logdir: str):
+    """XLA profiler trace (view with TensorBoard/xprof).
+
+    No-op-with-warning on platforms whose PJRT client doesn't implement the
+    profiler API (the tunneled axon platform may not).
+    """
+    started = False
+    try:
+        jax.profiler.start_trace(logdir)
+        started = True
+    except Exception as e:  # pragma: no cover - platform dependent
+        print(f"[profiling] trace unavailable on this platform: {e}")
+    try:
+        yield
+    finally:
+        if started:
+            jax.profiler.stop_trace()
+
+
+def cost_model(cfg) -> list:
+    """Per-matmul multiply counts, one entry per bit_config slot.
+
+    Dispatches on config type (ViT vs Swin); the ViT variant mirrors the
+    reference's FLOPs list exactly (see models/common.py::vit_flops).
+    """
+    from .models.common import ViTConfig, vit_flops
+
+    if isinstance(cfg, ViTConfig):
+        return vit_flops(cfg)
+    # Swin: patch stem + per block [qkv, proj, fc1, fc2] + per-stage
+    # downsample reduction + head, matching models/swin.py's matmul order.
+    flops = [cfg.in_chans * cfg.patch_size**2 * cfg.embed_dim
+             * (cfg.img_size // cfg.patch_size) ** 2]
+    for i, depth in enumerate(cfg.depths):
+        c = cfg.embed_dim * (2**i)
+        res = cfg.stage_res(i)
+        n = res * res
+        h = int(c * cfg.mlp_ratio)
+        for _ in range(depth):
+            flops += [n * c * 3 * c, n * c * c, n * c * h, n * h * c]
+        if i < len(cfg.depths) - 1:
+            flops.append((n // 4) * (4 * c) * (2 * c))
+    flops.append(cfg.embed_dim * (2 ** (len(cfg.depths) - 1)) * cfg.num_classes)
+    return flops
+
+
+class AverageMeter:
+    """Running average (reference test_quant.py:530-546 semantics)."""
+
+    def __init__(self):
+        self.val = self.sum = self.count = self.avg = 0.0
+
+    def update(self, val: float, n: int = 1):
+        self.val = val
+        self.sum += val * n
+        self.count += n
+        self.avg = self.sum / max(self.count, 1)

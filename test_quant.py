@@ -87,7 +87,8 @@ def build_parser():
 
 
 class AverageMeter:
-    """test_quant.py:530-546."""
+    """test_quant.py:530-546 (duplicated from p2vit_tpu.profiling so the CLI
+    keeps its deferred-jax-import startup: --help must not init a backend)."""
 
     def __init__(self):
         self.val = self.avg = self.sum = self.count = 0.0

@@ -71,19 +71,20 @@ def kde_differential_entropy(sims: jnp.ndarray) -> jnp.ndarray:
     return jnp.trapezoid(f, xs[None, :].repeat(b, 0), axis=-1).mean()
 
 
-def patch_similarity_entropy(attn_maps) -> jnp.ndarray:
+def patch_similarity_entropy(attn_maps, drop_cls: bool = True) -> jnp.ndarray:
     """Σ_blocks differential entropy of cosine sims between patch features.
 
     attn_maps: list of (B, N, C) attn@v outputs. The cls token is dropped
-    and (unlike the GPU reference, whose hook fires before head-merge and
-    averages over heads, generate_data.py:106) the tap is the merged (B,N,C)
-    tensor — cosine similarity over the full channel dim, which is the mean
-    over heads of per-head dot products up to normalization; the entropy
-    objective is preserved.
+    for ViT (drop_cls; Swin windows have none) and (unlike the GPU
+    reference, whose hook fires before head-merge and averages over heads,
+    generate_data.py:106) the tap is the merged (B,N,C) tensor — cosine
+    similarity over the full channel dim, which is the mean over heads of
+    per-head dot products up to normalization; the entropy objective is
+    preserved.
     """
     total = 0.0
     for a in attn_maps:
-        p = a[:, 1:, :]
+        p = a[:, 1:, :] if drop_cls else a
         p = p / jnp.maximum(jnp.linalg.norm(p, axis=-1, keepdims=True), 1e-8)
         sims = jnp.einsum("bnc,bmc->bnm", p, p)
         total = total + kde_differential_entropy(sims.reshape(a.shape[0], -1))
@@ -100,15 +101,21 @@ def _cosine_lr(base_lr, it, iters, warmup=100):
 
 def generate_data(
     params,
-    cfg: ViTConfig,
+    cfg,
     batch_size: int = 32,
     seed: int = 0,
     iterations_per_epoch: int = 500,
     lr: float = 0.20,
 ) -> jnp.ndarray:
     """Synthesize a calibration batch from Gaussian noise (mode 2,
-    test_quant.py:266-273)."""
+    test_quant.py:266-273). cfg may be a ViTConfig or SwinConfig — the
+    reference's build_model taps timm's Attention and WindowAttention alike
+    (utils/build_model.py:78-108)."""
     import optax
+
+    is_vit = isinstance(cfg, ViTConfig)
+    if not is_vit:
+        from .models import swin as swin_mod
 
     rng = random.Random(seed)
     key = jax.random.PRNGKey(seed)
@@ -127,11 +134,14 @@ def generate_data(
         im_jit = jnp.roll(im, (off, off), axis=(2, 3))
         im_jit = jnp.where(flip, im_jit[:, :, :, ::-1], im_jit)
         taps: list = []
-        logits = vit.fp_forward(params, cfg, im_jit, attn_tap=taps)
+        if is_vit:
+            logits = vit.fp_forward(params, cfg, im_jit, attn_tap=taps)
+        else:
+            logits = swin_mod.fp_forward(params, cfg, im_jit, attn_tap=taps)
         logp = jax.nn.log_softmax(logits)
         loss_oh = -jnp.take_along_axis(logp, labels[:, None], axis=1).mean()
         loss_tv = jnp.abs(total_variation(im_jit) - var_pred)
-        loss_entropy = -patch_similarity_entropy(taps)
+        loss_entropy = -patch_similarity_entropy(taps, drop_cls=is_vit)
         return loss_entropy + 1.0 * loss_oh + 0.05 * loss_tv
 
     grad_fn = jax.jit(jax.grad(loss_fn))

@@ -199,8 +199,14 @@ def _rel_bias(blk, cfg: SwinConfig, stage: int):
     return bias.transpose(2, 0, 1)
 
 
-def _window_attention_fp(blk, cfg, stage, xw, mask):
-    """fp windowed attention on (B·nW, N, C) windows."""
+def _window_attention_fp(blk, cfg, stage, xw, mask, attn_tap=None):
+    """fp windowed attention on (B·nW, N, C) windows.
+
+    attn_tap: optional list; the merged attn@v window tensor is appended —
+    the Swin analogue of the reference's MatMul hook on WindowAttention
+    (/root/reference/utils/build_model.py:100-108), consumed by the PSAQ
+    data-free generator.
+    """
     heads = cfg.num_heads[stage]
     b_, n, c = xw.shape
     hd = c // heads
@@ -214,10 +220,12 @@ def _window_attention_fp(blk, cfg, stage, xw, mask):
         attn = attn.reshape(b_, heads, n, n)
     attn = jax.nn.softmax(attn, axis=-1)
     out = (attn @ v).transpose(0, 2, 1, 3).reshape(b_, n, c)
+    if attn_tap is not None:
+        attn_tap.append(out)
     return linear(out, blk["proj"]["w"], blk["proj"]["b"])
 
 
-def fp_forward(params, cfg: SwinConfig, x):
+def fp_forward(params, cfg: SwinConfig, x, attn_tap=None):
     """Plain fp Swin forward (baseline eval / Hessian / PSAQ taps)."""
     eps = cfg.ln_eps
     x = linear(_patches(x, cfg.patch_size), params["patch_embed"]["w"],
@@ -240,7 +248,7 @@ def fp_forward(params, cfg: SwinConfig, x):
             mask = (
                 jnp.asarray(shift_attn_mask(res, res, ws, shift)) if shift else None
             )
-            hw = _window_attention_fp(blk, cfg, i, hw, mask)
+            hw = _window_attention_fp(blk, cfg, i, hw, mask, attn_tap)
             h = window_reverse(hw, ws, res, res)
             if shift:
                 h = jnp.roll(h, (shift, shift), axis=(1, 2))

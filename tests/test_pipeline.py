@@ -215,3 +215,20 @@ def test_datafree_generation(tiny_model):
         ch = np.asarray(img[:, c])
         assert ch.min() >= -mean[c] / std[c] - 1e-5
         assert ch.max() <= (1 - mean[c]) / std[c] + 1e-5
+
+
+def test_datafree_generation_swin():
+    """PSAQ synthesis also runs on Swin (window-attention taps, no cls
+    token), like the reference's build_model WindowAttention hooks."""
+    from p2vit_tpu.datafree import generate_data
+    from p2vit_tpu.models import swin
+
+    cfg = swin.SwinConfig(
+        img_size=32, patch_size=4, num_classes=8, embed_dim=16,
+        depths=(2, 2), num_heads=(2, 2), window_size=4,
+    )
+    params = swin.init_params(jax.random.PRNGKey(0), cfg)
+    img = generate_data(params, cfg, batch_size=2, seed=0,
+                        iterations_per_epoch=2)
+    assert img.shape == (2, 3, 32, 32)
+    assert jnp.isfinite(img).all()

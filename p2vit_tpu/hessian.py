@@ -86,6 +86,114 @@ def hessian_traces(
     return vthv.mean(axis=0)
 
 
+def _flat_hvp(params, cfg, x, labels):
+    """(z0, hvp, dim): CE-loss Hessian-vector product over the tracked
+    weights flattened to one vector — the joint Hessian the reference's
+    eigenvalue/density methods operate on (pyhessian/hessian.py:115-289)."""
+    from jax.flatten_util import ravel_pytree
+
+    ws = [w for _, w in tracked_weights(params)]
+    z0, unravel = ravel_pytree(ws)
+
+    def loss_flat(z):
+        logits = vit.fp_forward(_with_weights(params, unravel(z)), cfg, x)
+        logp = jax.nn.log_softmax(logits)
+        return -jnp.take_along_axis(logp, labels[:, None], axis=1).mean()
+
+    grad_flat = jax.grad(loss_flat)
+
+    def hvp(v):
+        return jax.jvp(grad_flat, (z0,), (v,))[1]
+
+    return z0, hvp, z0.shape[0]
+
+
+def hessian_eigenvalues(
+    params, cfg: ViTConfig, x, labels, key, top_n: int = 1,
+    max_iter: int = 100, tol: float = 1e-3,
+):
+    """Top-n Hessian eigenvalues by power iteration with deflation
+    (pyhessian/hessian.py:115-165). Returns (eigenvalues, eigenvectors);
+    eigenvectors is [n, dim] over the flattened tracked weights."""
+    _, hvp, dim = _flat_hvp(params, cfg, x, labels)
+    hvp_j = jax.jit(hvp)
+
+    eigenvalues, eigenvectors = [], []
+    for i in range(top_n):
+        v = jax.random.normal(jax.random.fold_in(key, i), (dim,))
+        v = v / jnp.linalg.norm(v)
+        lam_prev = None
+        for _ in range(max_iter):
+            # deflate against converged eigenvectors (utils.py:103-110)
+            for e in eigenvectors:
+                v = v - jnp.vdot(e, v) * e
+            v = v / jnp.linalg.norm(v)
+            hv = hvp_j(v)
+            lam = float(jnp.vdot(v, hv))
+            v = hv / jnp.maximum(jnp.linalg.norm(hv), 1e-12)
+            if lam_prev is not None and abs(lam - lam_prev) / (
+                abs(lam_prev) + 1e-6
+            ) < tol:
+                break
+            lam_prev = lam
+        eigenvalues.append(lam)
+        eigenvectors.append(v)
+    return eigenvalues, jnp.stack(eigenvectors)
+
+
+def hessian_density(
+    params, cfg: ViTConfig, x, labels, key, n_iter: int = 50, n_runs: int = 1,
+):
+    """Eigenvalue spectral density by stochastic Lanczos quadrature
+    (pyhessian/hessian.py:219-289): per run, n_iter Lanczos steps with full
+    reorthogonalization build a tridiagonal T; its eigenvalues are the
+    quadrature nodes and the squared first eigenvector components the
+    weights. Returns (eigen_list [n_runs, n_iter], weight_list same)."""
+    _, hvp, dim = _flat_hvp(params, cfg, x, labels)
+    hvp_j = jax.jit(hvp)
+
+    eig_list, weight_list = [], []
+    for r in range(n_runs):
+        v = jax.random.rademacher(
+            jax.random.fold_in(key, r), (dim,), dtype=jnp.float32
+        )
+        v = v / jnp.linalg.norm(v)
+        vs = [v]
+        alphas, betas = [], []
+        w = hvp_j(v)
+        alpha = jnp.vdot(w, v)
+        alphas.append(alpha)
+        w = w - alpha * v
+        for _ in range(n_iter - 1):
+            beta = jnp.linalg.norm(w)
+            betas.append(beta)
+            if float(beta) == 0.0:
+                v_next = jax.random.rademacher(
+                    jax.random.fold_in(key, 7919 + len(vs)), (dim,),
+                    dtype=jnp.float32,
+                )
+            else:
+                v_next = w / beta
+            # full reorthogonalization (hessian.py:256-261)
+            for u in vs:
+                v_next = v_next - jnp.vdot(u, v_next) * u
+            v_next = v_next / jnp.maximum(jnp.linalg.norm(v_next), 1e-12)
+            vs.append(v_next)
+            w = hvp_j(v_next)
+            alpha = jnp.vdot(w, v_next)
+            alphas.append(alpha)
+            w = w - alpha * v_next - betas[-1] * vs[-2]
+        t = (
+            jnp.diag(jnp.stack(alphas))
+            + jnp.diag(jnp.stack(betas), 1)
+            + jnp.diag(jnp.stack(betas), -1)
+        )
+        evals, evecs = jnp.linalg.eigh(t)
+        eig_list.append([float(e) for e in evals])
+        weight_list.append([float(c) ** 2 for c in evecs[0, :]])
+    return eig_list, weight_list
+
+
 def normalized_mean_hessian(trace_batches) -> list:
     """abs → per-batch min-max normalize → mean across batches.
 

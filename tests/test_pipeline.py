@@ -232,3 +232,47 @@ def test_datafree_generation_swin():
                         iterations_per_epoch=2)
     assert img.shape == (2, 3, 32, 32)
     assert jnp.isfinite(img).all()
+
+
+def test_hessian_eigenvalues_and_density():
+    """Power-iteration top eigenvalues and SLQ density nodes agree with the
+    dense Hessian spectrum on a micro model (pyhessian parity,
+    /root/reference/pyhessian/hessian.py:115-165,219-289)."""
+    from jax.flatten_util import ravel_pytree
+    from p2vit_tpu import hessian as H
+
+    cfg = ViTConfig(img_size=16, patch_size=8, num_classes=4, embed_dim=8,
+                    depth=1, num_heads=2)
+    params = vit.init_params(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 3, 16, 16))
+    labels = jnp.asarray([0, 1, 2, 3])
+
+    # dense reference spectrum over the same flattened tracked weights
+    ws = [w for _, w in H.tracked_weights(params)]
+    z0, unravel = ravel_pytree(ws)
+
+    def loss_flat(z):
+        logits = vit.fp_forward(H._with_weights(params, unravel(z)), cfg, x)
+        logp = jax.nn.log_softmax(logits)
+        return -jnp.take_along_axis(logp, labels[:, None], axis=1).mean()
+
+    dense = jax.hessian(loss_flat)(z0)
+    evals = jnp.linalg.eigvalsh(0.5 * (dense + dense.T))
+    by_abs = sorted([float(e) for e in evals], key=abs, reverse=True)
+
+    eig, vecs = H.hessian_eigenvalues(
+        params, cfg, x, labels, jax.random.PRNGKey(2), top_n=2, max_iter=200,
+        tol=1e-5,
+    )
+    assert abs(eig[0] - by_abs[0]) / abs(by_abs[0]) < 0.02
+    assert abs(eig[1]) <= abs(eig[0]) * 1.01
+    assert vecs.shape == (2, z0.shape[0])
+
+    nodes, weights = H.hessian_density(
+        params, cfg, x, labels, jax.random.PRNGKey(3), n_iter=30, n_runs=2
+    )
+    for ns, wts in zip(nodes, weights):
+        assert abs(sum(wts) - 1.0) < 1e-3
+        # Lanczos converges the spectrum extremes first
+        assert max(ns) <= by_abs[0] * 1.02 + 1e-6
+        assert abs(max(ns) - float(evals.max())) / float(evals.max()) < 0.05

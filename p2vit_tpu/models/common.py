@@ -130,6 +130,27 @@ def trunc_normal(key, shape, std=0.02, dtype=jnp.float32):
     return std * jax.random.truncated_normal(key, -2.0, 2.0, shape, dtype)
 
 
+def to_2tuple(v):
+    """Scalar -> (v, v); pass tuples through (reference layers_quant.py's
+    timm-lineage helper)."""
+    return tuple(v) if isinstance(v, (tuple, list)) else (v, v)
+
+
+def drop_path(key, x, rate: float, training: bool = False):
+    """Stochastic depth (reference DropPath, layers_quant.py:122-150).
+
+    Identity when not training or rate==0 — the only case the reference's
+    PTQ/eval workload ever exercises (drop rates default to 0); kept for API
+    parity and for fine-tuning uses. Scales kept samples by 1/(1-rate).
+    """
+    if not training or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    mask_shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jax.random.bernoulli(key, keep, mask_shape)
+    return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
 def hybrid_embed(backbone_fn, x, proj_w, proj_b=None):
     """CNN-backbone patch embedding (reference HybridEmbed,
     /root/reference/models/layers_quant.py:500-542).

@@ -6,6 +6,7 @@ Tiny-model CPU-runnable E2E per SURVEY §4's designed test strategy (layer 3).
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import pytest
 
 from p2vit_tpu.config import make_policy
@@ -129,3 +130,18 @@ def test_hybrid_embed():
     # token-shaped backbone output passes through untouched
     out3d = hybrid_embed(lambda img: jnp.ones((2, 5, 8)), x, w, b)
     assert out3d.shape == (2, 5, 16)
+
+
+def test_drop_path_and_to_2tuple():
+    from p2vit_tpu.models.common import drop_path, to_2tuple
+
+    assert to_2tuple(7) == (7, 7)
+    assert to_2tuple((2, 3)) == (2, 3)
+    x = jnp.ones((8, 4, 4))
+    # eval / rate-0: exact identity (the reference's only exercised case)
+    assert (drop_path(jax.random.PRNGKey(0), x, 0.0, True) == x).all()
+    assert (drop_path(jax.random.PRNGKey(0), x, 0.5, False) == x).all()
+    y = drop_path(jax.random.PRNGKey(1), x, 0.5, True)
+    per_sample = np.asarray(y.reshape(8, -1))
+    # each sample is either dropped (0) or scaled by 1/keep (2.0)
+    assert all(set(np.unique(r)).issubset({0.0, 2.0}) for r in per_sample)

@@ -225,7 +225,11 @@ def lis_attention_fused(
     c = c3 // 3
     d = c // num_heads
     assert d % 128 == 0 or 128 % d == 0, f"head_dim {d} vs lane width"
-    npad = (-n) % 128
+    # Rows only need the int8 sublane tile (32), not the lane tile (128):
+    # 197 tokens -> 224 rows instead of 256, trimming ~12.5% off every VPU
+    # pass over the (rows, keys) attention matrix. Key columns stay padded
+    # to the physical lane tile by Mosaic and are masked via n_valid.
+    npad = (-n) % 32
     qkv_p = jnp.pad(qkv_q, ((0, 0), (0, npad), (0, 0))) if npad else qkv_q
     nfull = n + npad
     scalars = jnp.stack(
@@ -252,6 +256,135 @@ def lis_attention_fused(
         out_shape=jax.ShapeDtypeStruct((b, nfull, c), jnp.int8),
         interpret=interpret,
     )(scalars, qkv_p)
+    return out[:, :n, :]
+
+
+def _swin_kernel(
+    s_ref, qkv_ref, bias_ref, mask_ref, o_ref, *, n_valid, lis_bits, qmin,
+    qmax, c, d, num_heads, lis, has_mask,
+):
+    """Per-window fused quantized Swin attention (one grid step = one
+    window, heads unrolled; the (N, N) score matrix never leaves VMEM).
+
+    Math mirrors serving_swin._window_attention_codes exactly:
+    q@kᵀ int32 → qact_attn1 codes → +rel-pos bias → /s2 (qact2 codes) →
+    (+shift mask/s2, added unrounded like the simulation) → LIS / fp
+    softmax → @v → qact3 codes.
+    """
+    rq, s1, inv_s2, ro = s_ref[0, 0], s_ref[0, 1], s_ref[0, 2], s_ref[0, 3]
+    outs = []
+    for h in range(num_heads):
+        qm = qkv_ref[0, :, h * d : (h + 1) * d]
+        km = qkv_ref[0, :, c + h * d : c + (h + 1) * d]
+        vm = qkv_ref[0, :, 2 * c + h * d : 2 * c + (h + 1) * d]
+        acc = jax.lax.dot_general(
+            qm, km, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+        )
+        attn_c = jnp.clip(jnp.round(acc.astype(jnp.float32) * rq), qmin, qmax)
+        attn2 = jnp.clip(
+            jnp.round((attn_c * s1 + bias_ref[h]) * inv_s2), qmin, qmax
+        )
+        if has_mask:
+            attn2 = attn2 + mask_ref[0]
+        col = jax.lax.broadcasted_iota(jnp.int32, attn2.shape, 1)
+        # park padded key columns so they can't win the row max
+        attn2 = jnp.where(col < n_valid, attn2, jnp.float32(-(2.0**30)))
+        if lis:
+            attn_pot = _lis_from_scores(attn2, 1.0 / inv_s2, col, n_valid,
+                                        lis_bits)
+        else:
+            attn_pot = _fp_softmax_from_scores(attn2, 1.0 / inv_s2, col,
+                                               n_valid)
+        av = jax.lax.dot_general(
+            attn_pot,
+            vm.astype(jnp.float32),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        outs.append(jnp.clip(jnp.round(av * ro), qmin, qmax).astype(jnp.int8))
+    o_ref[0] = jnp.concatenate(outs, axis=-1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_heads", "n_windows", "lis_bits", "lis", "interpret"),
+)
+def swin_lis_attention(
+    qkv_q: jnp.ndarray,
+    bias: jnp.ndarray,
+    mask,
+    num_heads: int,
+    n_windows: int,
+    score_requant,
+    attn_scale,
+    s2,
+    out_requant,
+    lis_bits: int = 4,
+    lis: bool = True,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused quantized windowed attention over (W, N, 3C) window panels.
+
+    Args:
+      qkv_q: (B·nW, N, 3C) int8 codes of the per-window fused qkv.
+      bias: (H, N, N) f32 dequantized relative-position-bias values
+        (the qact_table fake-quantized table gathered per position).
+      mask: (nW, N, N) f32 shifted-window mask ALREADY divided by s2, or
+        None. Window i uses mask[i % n_windows] (reference
+        swin_quant.py:365-395 layout).
+      score_requant: s_qkv² · head_dim^-0.5 / s_attn1.
+      attn_scale: the qact_attn1 scale (s1).
+      s2: the qact2 scale (PoT — its reciprocal is exact).
+      out_requant: s_qkv / s_qact3.
+    Returns (B·nW, N, C) int8 codes of the attention output (pre-proj).
+    """
+    w, n, c3 = qkv_q.shape
+    c = c3 // 3
+    d = c // num_heads
+    npad = (-n) % 32
+    nfull = n + npad
+    qkv_p = jnp.pad(qkv_q, ((0, 0), (0, npad), (0, 0))) if npad else qkv_q
+    bias_p = jnp.pad(bias, ((0, 0), (0, npad), (0, npad))) if npad else bias
+    has_mask = mask is not None
+    if has_mask:
+        mask_p = (
+            jnp.pad(mask, ((0, 0), (0, npad), (0, npad))) if npad else mask
+        ).astype(jnp.float32)
+    else:
+        # dummy operand keeps one kernel signature; never read
+        mask_p = jnp.zeros((1, nfull, nfull), jnp.float32)
+        n_windows = 1
+    scalars = jnp.stack(
+        [
+            jnp.asarray(score_requant, jnp.float32),
+            jnp.asarray(attn_scale, jnp.float32),
+            1.0 / jnp.asarray(s2, jnp.float32),
+            jnp.asarray(out_requant, jnp.float32),
+        ]
+    ).reshape(1, 4)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _swin_kernel, n_valid=n, lis_bits=lis_bits, qmin=-128.0,
+            qmax=127.0, c=c, d=d, num_heads=num_heads, lis=lis,
+            has_mask=has_mask,
+        ),
+        grid=(w,),
+        in_specs=[
+            pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, nfull, c3), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_heads, nfull, nfull), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nfull, nfull), lambda i: (i % n_windows, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, nfull, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((w, nfull, c), jnp.int8),
+        interpret=interpret,
+    )(scalars, qkv_p, bias_p, mask_p)
     return out[:, :n, :]
 
 

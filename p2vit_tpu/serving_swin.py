@@ -28,7 +28,11 @@ from .models.swin import (
     window_partition,
     window_reverse,
 )
-from .ops.attention_lis import _fp_softmax_from_scores, _lis_from_scores
+from .ops.attention_lis import (
+    _fp_softmax_from_scores,
+    _lis_from_scores,
+    swin_lis_attention,
+)
 from .ops.intln import int_ln_requant
 from .ops.matmul_int8 import int8_matmul_requant, int8_matmul_requant_ref
 
@@ -149,15 +153,7 @@ def _window_attention_codes(
         jnp.round(acc * (s1**2 * hd**-0.5 / aq["qact_attn1"]["scale"])), *_I8
     )
     # + relative position bias (bias table fake-quantized at qact_table)
-    table_q = jnp.clip(
-        jnp.round(sb["bias_table"] / aq["qact_table"]["scale"]), *_I8
-    )
-    idx = relative_position_index(ws).reshape(-1)
-    bias_val = (
-        (table_q[idx] * aq["qact_table"]["scale"])
-        .reshape(n, n, n_heads)
-        .transpose(2, 0, 1)
-    )
+    bias_val = _bias_values(sb, aq, ws, n, n_heads)
     s2 = aq["qact2"]["scale"]
     attn2 = jnp.clip(
         jnp.round(
@@ -183,11 +179,28 @@ def _window_attention_codes(
     )
 
 
+def _bias_values(sb, aq, ws, n, n_heads):
+    """Dequantized rel-pos-bias values (H, N, N): the qact_table
+    fake-quantized table gathered per position (swin_quant.py:222-235)."""
+    table_q = jnp.clip(
+        jnp.round(sb["bias_table"] / aq["qact_table"]["scale"]), *_I8
+    )
+    idx = relative_position_index(ws).reshape(-1)
+    return (
+        (table_q[idx] * aq["qact_table"]["scale"])
+        .reshape(n, n, n_heads)
+        .transpose(2, 0, 1)
+    )
+
+
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "policy", "interpret", "use_pallas")
+    jax.jit,
+    static_argnames=("cfg", "policy", "interpret", "use_pallas",
+                     "pallas_attn"),
 )
 def serving_forward(s, qstate, cfg: SwinConfig, policy: QuantPolicy, x,
-                    interpret: bool = False, use_pallas: bool = True):
+                    interpret: bool = False, use_pallas: bool = True,
+                    pallas_attn: bool = False):
     """Run the Swin int8 pipeline on an fp image batch; returns f32 logits.
 
     The patch conv runs fp (Swin has no input quantizer — constructors never
@@ -235,7 +248,26 @@ def serving_forward(s, qstate, cfg: SwinConfig, policy: QuantPolicy, x,
             mask = (
                 jnp.asarray(shift_attn_mask(res, res, ws, shift)) if shift else None
             )
-            hw = _window_attention_codes(hw, sb, bq, cfg, i, mask, lis, heads)
+            if pallas_attn:
+                aq2 = bq["attn"]
+                hd = c // heads
+                hw = swin_lis_attention(
+                    hw,
+                    _bias_values(sb, aq2, ws, ws * ws, heads),
+                    None if mask is None else mask / aq2["qact2"]["scale"],
+                    heads,
+                    (res // ws) ** 2,
+                    aq2["qact1"]["scale"] ** 2 * hd**-0.5
+                    / aq2["qact_attn1"]["scale"],
+                    aq2["qact_attn1"]["scale"],
+                    aq2["qact2"]["scale"],
+                    aq2["qact1"]["scale"] / aq2["qact3"]["scale"],
+                    lis=bool(lis),
+                    interpret=interpret,
+                )
+            else:
+                hw = _window_attention_codes(hw, sb, bq, cfg, i, mask, lis,
+                                             heads)
             hw = mm(
                 hw.reshape(-1, c),
                 sb["proj"]["w_q"],

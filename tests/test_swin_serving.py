@@ -40,3 +40,16 @@ def test_swin_serving_matches_simulation(setup, w_bit):
     rel = np.linalg.norm(srv - sim) / max(np.linalg.norm(sim), 1e-9)
     assert rel < 0.05, f"swin serving diverges: rel={rel}"
     assert (sim.argmax(1) == srv.argmax(1)).all()
+
+
+def test_swin_pallas_attention_kernel_bit_exact(setup):
+    """The fused Pallas window-attention kernel (interpret mode) is
+    bit-identical to the XLA integer-math twin, shifted blocks included."""
+    policy, params, x, calib = setup
+    ss = serving_swin.convert(params, calib.qstate, TINY, policy, 8)
+    ref = np.asarray(serving_swin.serving_forward(
+        ss, calib.qstate, TINY, policy, x, use_pallas=False))
+    pal = np.asarray(serving_swin.serving_forward(
+        ss, calib.qstate, TINY, policy, x, use_pallas=False,
+        pallas_attn=True, interpret=True))
+    assert np.array_equal(ref, pal)

@@ -79,7 +79,11 @@ def build_parser():
     p.add_argument("--limit-val", default=None, type=int, help="cap val batches")
     p.add_argument("--serve", action="store_true",
                    help="evaluate on the int8 Pallas serving path instead of "
-                        "the fake-quant simulation (ViT/DeiT, fixed bit config)")
+                        "the fake-quant simulation (fixed bit config; Swin "
+                        "uses its uniform-weight-bit pipeline)")
+    p.add_argument("--plot", action="store_true",
+                   help="dump per-channel activation range plots to figs/ "
+                        "(reference plot_distrib.py plumbing; ViT/DeiT)")
     p.add_argument("--live-hessian", action="store_true",
                    help="compute Hessian traces instead of hardcoded tables")
     p.add_argument("--hessian-batches", default=2, type=int)
@@ -182,7 +186,23 @@ def main():
 
     val = data.ImageFolder(f"{args.data}/val", tf)
 
-    if args.quant and is_swin:
+    if args.quant and is_swin and args.serve:
+        from p2vit_tpu import serving_swin
+
+        on_accel = jax.devices()[0].platform != "cpu"
+        _sw_cache = {}
+
+        def model_fn(x, bit_config):
+            w_bit = int(bit_config[0]) if bit_config else 8
+            if w_bit not in _sw_cache:
+                _sw_cache[w_bit] = serving_swin.convert(
+                    params, calib.qstate, cfg, policy, w_bit
+                )
+            return serving_swin.serving_forward(
+                _sw_cache[w_bit], calib.qstate, cfg, policy, x,
+                use_pallas=on_accel,
+            )
+    elif args.quant and is_swin:
         # Swin is FQ-ViT-style: uniform weight bit (the reference never wired
         # bit_config/mixed-precision into Swin — SURVEY §2 ⚠)
         def model_fn(x, bit_config):
@@ -216,6 +236,17 @@ def main():
 
         def model_fn(x, bit_config):
             return fp(params, x)
+
+    if args.plot:
+        if is_swin:
+            print("--plot is ViT/DeiT-only (reference plots vit_base); skipping")
+        else:
+            from p2vit_tpu import analysis
+
+            imgs, _ = next(data.iterate_batches(val, min(args.val_batchsize, 8)))
+            acts = analysis.collect_activations(params, cfg, jnp.asarray(imgs))
+            paths = analysis.plot_distribution(acts, args.model, args.quant)
+            print(f"wrote {len(paths)} activation plots to figs/")
 
     def validate(bit_config):
         batch_time, top1, top5 = AverageMeter(), AverageMeter(), AverageMeter()

@@ -129,9 +129,7 @@ def _requant(codes, ratio):
     return jnp.clip(jnp.round(codes.astype(jnp.float32) * ratio), *_I8)
 
 
-def _window_attention_codes(
-    hw, sb, bq, cfg, stage, mask, lis, n_heads
-):
+def _window_attention_codes(hw, sb, bq, mask, lis, n_heads):
     """Windowed attention on codes, integer math in XLA.
 
     Mirrors swin.quant_forward's attention: q·scale@kᵀ → qact_attn1 →
@@ -266,8 +264,7 @@ def serving_forward(s, qstate, cfg: SwinConfig, policy: QuantPolicy, x,
                     interpret=interpret,
                 )
             else:
-                hw = _window_attention_codes(hw, sb, bq, cfg, i, mask, lis,
-                                             heads)
+                hw = _window_attention_codes(hw, sb, bq, mask, lis, heads)
             hw = mm(
                 hw.reshape(-1, c),
                 sb["proj"]["w_q"],

@@ -17,6 +17,7 @@ simulation twin these kernels are tested against.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -263,8 +264,10 @@ def _swin_kernel(
     s_ref, qkv_ref, bias_ref, mask_ref, o_ref, *, n_valid, lis_bits, qmin,
     qmax, c, d, num_heads, lis, has_mask,
 ):
-    """Per-window fused quantized Swin attention (one grid step = one
-    window, heads unrolled; the (N, N) score matrix never leaves VMEM).
+    """Fused quantized Swin attention, G windows per grid step (heads
+    unrolled; score matrices never leave VMEM). Batching windows amortizes
+    the per-step grid overhead — stage 0 has B·64 windows, far too many for
+    one step each.
 
     Math mirrors serving_swin._window_attention_codes exactly:
     q@kᵀ int32 → qact_attn1 codes → +rel-pos bias → /s2 (qact2 codes) →
@@ -274,19 +277,20 @@ def _swin_kernel(
     rq, s1, inv_s2, ro = s_ref[0, 0], s_ref[0, 1], s_ref[0, 2], s_ref[0, 3]
     outs = []
     for h in range(num_heads):
-        qm = qkv_ref[0, :, h * d : (h + 1) * d]
-        km = qkv_ref[0, :, c + h * d : c + (h + 1) * d]
-        vm = qkv_ref[0, :, 2 * c + h * d : 2 * c + (h + 1) * d]
+        qm = qkv_ref[:, :, h * d : (h + 1) * d]
+        km = qkv_ref[:, :, c + h * d : c + (h + 1) * d]
+        vm = qkv_ref[:, :, 2 * c + h * d : 2 * c + (h + 1) * d]
         acc = jax.lax.dot_general(
-            qm, km, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
-        )
+            qm, km, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32,
+        )  # (G, N, N)
         attn_c = jnp.clip(jnp.round(acc.astype(jnp.float32) * rq), qmin, qmax)
         attn2 = jnp.clip(
-            jnp.round((attn_c * s1 + bias_ref[h]) * inv_s2), qmin, qmax
+            jnp.round((attn_c * s1 + bias_ref[h][None]) * inv_s2), qmin, qmax
         )
         if has_mask:
-            attn2 = attn2 + mask_ref[0]
-        col = jax.lax.broadcasted_iota(jnp.int32, attn2.shape, 1)
+            attn2 = attn2 + mask_ref[...]
+        col = jax.lax.broadcasted_iota(jnp.int32, attn2.shape, 2)
         # park padded key columns so they can't win the row max
         attn2 = jnp.where(col < n_valid, attn2, jnp.float32(-(2.0**30)))
         if lis:
@@ -298,11 +302,11 @@ def _swin_kernel(
         av = jax.lax.dot_general(
             attn_pot,
             vm.astype(jnp.float32),
-            (((1,), (0,)), ((), ())),
+            (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )
+        )  # (G, N, d)
         outs.append(jnp.clip(jnp.round(av * ro), qmin, qmax).astype(jnp.int8))
-    o_ref[0] = jnp.concatenate(outs, axis=-1)
+    o_ref[...] = jnp.concatenate(outs, axis=-1)
 
 
 @functools.partial(
@@ -343,17 +347,26 @@ def swin_lis_attention(
     d = c // num_heads
     npad = (-n) % 32
     nfull = n + npad
-    qkv_p = jnp.pad(qkv_q, ((0, 0), (0, npad), (0, 0))) if npad else qkv_q
-    bias_p = jnp.pad(bias, ((0, 0), (0, npad), (0, npad))) if npad else bias
     has_mask = mask is not None
+    # windows per grid step: amortize grid overhead, stay G | n_windows so a
+    # step's mask slice is one contiguous chunk of the (nW, N, N) mask array
+    if has_mask:
+        g = math.gcd(16, n_windows)
+    else:
+        g = 16
+    wpad = (-w) % g
+    wfull = w + wpad
+    qkv_p = jnp.pad(qkv_q, ((0, wpad), (0, npad), (0, 0)))
+    bias_p = jnp.pad(bias, ((0, 0), (0, npad), (0, npad))) if npad else bias
     if has_mask:
         mask_p = (
             jnp.pad(mask, ((0, 0), (0, npad), (0, npad))) if npad else mask
         ).astype(jnp.float32)
+        n_chunks = n_windows // g
     else:
         # dummy operand keeps one kernel signature; never read
-        mask_p = jnp.zeros((1, nfull, nfull), jnp.float32)
-        n_windows = 1
+        mask_p = jnp.zeros((g, nfull, nfull), jnp.float32)
+        n_chunks = 1
     scalars = jnp.stack(
         [
             jnp.asarray(score_requant, jnp.float32),
@@ -369,23 +382,23 @@ def swin_lis_attention(
             qmax=127.0, c=c, d=d, num_heads=num_heads, lis=lis,
             has_mask=has_mask,
         ),
-        grid=(w,),
+        grid=(wfull // g,),
         in_specs=[
             pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, nfull, c3), lambda i: (i, 0, 0),
+            pl.BlockSpec((g, nfull, c3), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((num_heads, nfull, nfull), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nfull, nfull), lambda i: (i % n_windows, 0, 0),
+            pl.BlockSpec((g, nfull, nfull), lambda i: (i % n_chunks, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, nfull, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            (g, nfull, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((w, nfull, c), jnp.int8),
+        out_shape=jax.ShapeDtypeStruct((wfull, nfull, c), jnp.int8),
         interpret=interpret,
     )(scalars, qkv_p, bias_p, mask_p)
-    return out[:, :n, :]
+    return out[:w, :n, :]
 
 
 def lis_attention_ref(

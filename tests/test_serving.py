@@ -78,14 +78,16 @@ def test_matmul_res_ln_kernel_parity_interpret():
     np.testing.assert_array_equal(np.asarray(out[1]), np.asarray(ref[1]))
 
 
-@pytest.mark.parametrize("bits", [[8], [4]])
+@pytest.mark.parametrize("bits", [[8], [4], [4, 8]])
 def test_serving_matches_simulation(bits):
+    """[4,8] = alternating mixed-precision config, the evolutionary-search
+    deployment case (per-layer bits frozen at convert time)."""
     policy = make_policy()
     params = vit.init_params(jax.random.PRNGKey(0), TINY)
     x = jax.random.normal(jax.random.PRNGKey(1), (4, 3, 32, 32))
     calib = vit.calibrate(params, TINY, policy, x)
     n = TINY.num_matmuls
-    bit_config = bits * n
+    bit_config = (bits * n)[:n]
     sim = np.asarray(
         vit.quant_forward(
             params, calib.qstate, TINY, policy, x, vit.bits_to_idx(bit_config)

@@ -28,7 +28,34 @@ def _time_fn(step, x, iters=10):
     return device_time(step, x, iters=iters, repeats=2)
 
 
+def _ensure_live_backend():
+    """Fall back to CPU if the axon TPU tunnel is unresponsive.
+
+    The axon plugin initializes its tunnel client inside jax.devices(); a
+    dead tunnel blocks forever in make_c_api_client, which would hang the
+    whole benchmark. Probe in a subprocess with a timeout and drop the
+    plugin on failure — a CPU JSON line beats a hung driver."""
+    import os
+    import subprocess
+    import sys
+
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=150, check=True, capture_output=True,
+        )
+    except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+        print("# axon tunnel unresponsive; benchmarking on CPU", flush=True)
+        from jax._src import xla_bridge as xb
+
+        if not xb.backends_are_initialized():
+            xb._backend_factories.pop("axon", None)
+            jax.config.update("jax_platforms", "cpu")
+            os.environ["JAX_PLATFORMS"] = "cpu"
+
+
 def main():
+    _ensure_live_backend()
     from p2vit_tpu.config import make_policy
     from p2vit_tpu.models import VIT_ZOO
     from p2vit_tpu.models import vit

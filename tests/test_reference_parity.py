@@ -217,3 +217,31 @@ def test_uniform_fake_quant_matches_reference():
                    BIT_TYPE_DICT["int8"])
     )
     np.testing.assert_array_equal(ours, ref)
+
+
+def test_percentile_observer_matches_reference():
+    """PercentileObserver: torch.quantile clipping + EMA update + scale
+    derivation match on a fixed stream of tensors (percentile.py:9-77)."""
+    from models.ptq.observer.percentile import PercentileObserver
+    from models.ptq.bit_type import BIT_TYPE_DICT as REF_BITS
+
+    from p2vit_tpu.quant.bit_type import BIT_TYPE_DICT
+    from p2vit_tpu.quant import observers as O
+
+    obs = PercentileObserver("activation", REF_BITS["int8"], "layer_wise")
+    rng = np.random.default_rng(0)
+    batches = [rng.normal(size=(3, 7, 16)).astype(np.float32) * (i + 1)
+               for i in range(3)]
+
+    ours = None
+    for a in batches:
+        obs.update(_t(a))
+        st = O.collect_percentile(jnp.asarray(a), "activation")
+        ours = st if ours is None else O.merge_percentile(ours, st)
+    s_ref, zp_ref = obs.get_quantization_params()
+    # int8 is signed → the reference takes the symmetric path (percentile.py
+    # sets symmetric = bit_type.signed)
+    s_our, zp_our = O.float_scale_params(ours, BIT_TYPE_DICT["int8"],
+                                         symmetric=True)
+    np.testing.assert_allclose(float(s_our), float(s_ref), rtol=1e-5)
+    np.testing.assert_allclose(float(zp_our), float(zp_ref.float()), atol=1e-6)

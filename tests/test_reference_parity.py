@@ -245,3 +245,47 @@ def test_percentile_observer_matches_reference():
                                          symmetric=True)
     np.testing.assert_allclose(float(s_our), float(s_ref), rtol=1e-5)
     np.testing.assert_allclose(float(zp_our), float(zp_ref.float()), atol=1e-6)
+
+
+def test_ema_observer_matches_reference():
+    """EmaObserver: σ=0.01 EMA min/max + symmetric scale (ema.py:9-51)."""
+    from models.ptq.observer.ema import EmaObserver
+    from models.ptq.bit_type import BIT_TYPE_DICT as REF_BITS
+
+    from p2vit_tpu.quant.bit_type import BIT_TYPE_DICT
+    from p2vit_tpu.quant import observers as O
+
+    obs = EmaObserver("activation", REF_BITS["int8"], "layer_wise")
+    rng = np.random.default_rng(1)
+    batches = [rng.normal(size=(2, 5, 8)).astype(np.float32) * (3 - i)
+               for i in range(4)]
+    ours = None
+    for a in batches:
+        obs.update(_t(a))
+        st = O.collect_minmax(jnp.asarray(a), "activation", layer_wise=True)
+        ours = st if ours is None else O.merge_ema(ours, st)
+    s_ref, _ = obs.get_quantization_params()
+    s_our, _ = O.float_scale_params(ours, BIT_TYPE_DICT["int8"], symmetric=True)
+    np.testing.assert_allclose(float(s_our), float(s_ref), rtol=1e-6)
+
+
+def test_omse_observer_matches_reference():
+    """OmseObserver: 90-step range-shrink L2 search picks the same scale and
+    zero point (omse.py:30-57; first-minimum tie semantics)."""
+    from models.ptq.observer.omse import OmseObserver
+    from models.ptq.bit_type import BIT_TYPE_DICT as REF_BITS
+
+    from p2vit_tpu.quant.bit_type import BIT_TYPE_DICT
+    from p2vit_tpu.quant import observers as O
+
+    obs = OmseObserver("activation", REF_BITS["int8"], "layer_wise")
+    rng = np.random.default_rng(2)
+    a = rng.normal(size=(2, 6, 8)).astype(np.float32)
+    a[0, 0, 0] = 9.0  # outlier so the shrink search moves off i=0
+    obs.update(_t(a))
+    s_ref, zp_ref = obs.get_quantization_params(_t(a))
+
+    st = O.collect_minmax(jnp.asarray(a), "activation", layer_wise=True)
+    s_our, zp_our = O.omse_params(st, jnp.asarray(a), BIT_TYPE_DICT["int8"])
+    np.testing.assert_allclose(float(s_our), float(s_ref), rtol=1e-6)
+    assert float(zp_our) == float(zp_ref)

@@ -289,3 +289,55 @@ def test_omse_observer_matches_reference():
     s_our, zp_our = O.omse_params(st, jnp.asarray(a), BIT_TYPE_DICT["int8"])
     np.testing.assert_allclose(float(s_our), float(s_ref), rtol=1e-6)
     assert float(zp_our) == float(zp_ref)
+
+
+def test_swin_geometry_matches_reference():
+    """window_partition/reverse, relative-position index, and shifted-window
+    attention masks equal the reference's (swin_quant.py:26-59,101-115,
+    365-395). These pure functions work standalone even though the
+    reference's Swin MODEL path crashes (SURVEY §2 ⚠)."""
+    from models import swin_quant as ref_swin
+
+    from p2vit_tpu.models import swin as our_swin
+
+    rng = np.random.RandomState(7)
+    x = rng.randn(2, 8, 8, 5).astype(np.float32)
+    ws = 4
+
+    ref_win = ref_swin.window_partition(_t(x), ws).numpy()
+    our_win = np.asarray(our_swin.window_partition(jnp.asarray(x), ws))
+    # ours returns (B*nW, ws*ws, C); reference keeps (B*nW, ws, ws, C)
+    np.testing.assert_array_equal(our_win.reshape(ref_win.shape), ref_win)
+
+    ref_back = ref_swin.window_reverse(_t(ref_win), ws, 8, 8).numpy()
+    our_back = np.asarray(
+        our_swin.window_reverse(jnp.asarray(our_win), ws, 8, 8)
+    )
+    np.testing.assert_array_equal(our_back, ref_back)
+    np.testing.assert_array_equal(ref_back, x)
+
+    # relative position index: rebuild the reference's computation verbatim
+    coords = torch.stack(torch.meshgrid([torch.arange(ws), torch.arange(ws)]))
+    cf = torch.flatten(coords, 1)
+    rel = (cf[:, :, None] - cf[:, None, :]).permute(1, 2, 0).contiguous()
+    rel[:, :, 0] += ws - 1
+    rel[:, :, 1] += ws - 1
+    rel[:, :, 0] *= 2 * ws - 1
+    ref_idx = rel.sum(-1).numpy()
+    np.testing.assert_array_equal(our_swin.relative_position_index(ws), ref_idx)
+
+    # shifted-window attention mask (res 8, shift ws//2)
+    shift = ws // 2
+    img_mask = torch.zeros((1, 8, 8, 1))
+    cnt = 0
+    for hs in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+        for wsl in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+            img_mask[:, hs, wsl, :] = cnt
+            cnt += 1
+    mw = ref_swin.window_partition(img_mask, ws).view(-1, ws * ws)
+    am = mw.unsqueeze(1) - mw.unsqueeze(2)
+    ref_mask = (
+        am.masked_fill(am != 0, -100.0).masked_fill(am == 0, 0.0).numpy()
+    )
+    our_mask = np.asarray(our_swin.shift_attn_mask(8, 8, ws, shift))
+    np.testing.assert_array_equal(our_mask, ref_mask)

@@ -53,3 +53,46 @@ def test_swin_pallas_attention_kernel_bit_exact(setup):
         ss, calib.qstate, TINY, policy, x, use_pallas=False,
         pallas_attn=True, interpret=True))
     assert np.array_equal(ref, pal)
+
+
+def test_swin_kernel_mask_chunk_indexing():
+    """Direct kernel test with n_windows > windows-per-step: each grid step
+    must pick the right contiguous mask chunk (index i % n_chunks)."""
+    from p2vit_tpu.ops.attention_lis import (
+        swin_lis_attention,
+        _lis_from_scores,
+    )
+
+    key = jax.random.PRNGKey(0)
+    b, n_win, n, heads, d = 2, 64, 9, 2, 4  # 64 windows/image, ws=3
+    c = heads * d
+    w = b * n_win
+    qkv = jax.random.randint(key, (w, n, 3 * c), -128, 128, jnp.int8)
+    bias = jax.random.normal(jax.random.PRNGKey(1), (heads, n, n)) * 0.3
+    # distinct mask per window so a wrong chunk index changes the output
+    mask = -100.0 * jax.random.bernoulli(
+        jax.random.PRNGKey(2), 0.3, (n_win, n, n)
+    ).astype(jnp.float32)
+    rq, s1, s2, ro = 2.0**-9, 2.0**-4, 2.0**-4, 2.0**-2
+
+    out = swin_lis_attention(qkv, bias, mask / s2, heads, n_win, rq, s1, s2,
+                             ro, interpret=True)
+
+    # jnp twin (serving_swin._window_attention_codes math)
+    q, k, v = [
+        qkv.reshape(w, n, 3, heads, d).transpose(2, 0, 3, 1, 4)[i]
+        for i in range(3)
+    ]
+    acc = jnp.einsum("bhnd,bhmd->bhnm", q.astype(jnp.int32),
+                     k.astype(jnp.int32)).astype(jnp.float32)
+    attn_c = jnp.clip(jnp.round(acc * rq), -128, 127)
+    attn2 = jnp.clip(jnp.round((attn_c * s1 + bias[None]) / s2), -128, 127)
+    attn2 = attn2.reshape(b, n_win, heads, n, n) + (mask / s2)[None, :, None]
+    attn2 = attn2.reshape(w, heads, n, n)
+    col = jax.lax.broadcasted_iota(jnp.int32, attn2.shape, 3)
+    attn_p = _lis_from_scores(attn2, s2, col, n, 4)
+    av = jnp.einsum("bhnm,bhmd->bhnd", attn_p, v.astype(jnp.float32))
+    ref = jnp.clip(
+        jnp.round(av.transpose(0, 2, 1, 3).reshape(w, n, c) * ro), -128, 127
+    ).astype(jnp.int8)
+    assert np.array_equal(np.asarray(out), np.asarray(ref))

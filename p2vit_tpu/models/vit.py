@@ -418,7 +418,7 @@ def synthetic_qstate(cfg: ViTConfig) -> dict:
 # ---------------------------------------------------------------------------
 
 
-def _fq(x, q, ndim_vec=True):
+def _fq(x, q):
     """Fake-quant an activation with a solved node (int8, scalar or PTF [C]
     scale broadcast on the channel-last axis)."""
     return fake_quant(x, q["scale"], q["zp"], INT8)

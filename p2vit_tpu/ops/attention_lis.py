@@ -47,8 +47,9 @@ def _lis_from_scores(attn_c, s_attn, col, n_valid, lis_bits):
 
     Shared verbatim by the Pallas kernels and the jnp reference twins so
     they stay bit-identical. (An exponent-bit-manipulation variant of the
-    2^k/floor-log2 ops — ops/fastmath.py — measured ~25% SLOWER than the
-    VPU's transcendental unit on v5e, so transcendentals stay.)
+    2^k/floor-log2 ops measured ~25% SLOWER than the VPU's transcendental
+    unit on v5e — see BENCH.md "attempted and rejected" — so
+    transcendentals stay.)
     """
     x_int = attn_c - attn_c.max(axis=-1, keepdims=True)
     exp_int = _int_exp(x_int, s_attn)

@@ -28,13 +28,21 @@ def sample_bit_configs(
     bit_choice=BIT_CHOICE,
     max_configs: int = 51,
     constraint_ratio: float = 1.1,
+    max_attempts: int = 50_000,
 ) -> list:
     """Random paired configs under the model-size constraint
-    (test_quant.py:322-341)."""
+    (test_quant.py:322-341).
+
+    Deliberate fix vs. the reference: its draw loop runs up to 2^(n-1)
+    iterations (2^49 for depth-12 ViT) with no attempt bound, which can
+    stall for hours when the size constraint makes accepts rare
+    (test_quant.py:324-341). Sampling semantics are unchanged; the loop is
+    simply capped at ``max_attempts`` draws.
+    """
     n = len(flops)
     constraint = constraint_ratio * sum(f * 4 for f in flops)
     out = []
-    for _ in range(2 ** (n - 1)):
+    for _ in range(min(2 ** (n - 1), max_attempts)):
         body = [rng.choice(bit_choice) for _ in range(n // 2 - 1)]
         cand = [max(bit_choice)] + [b for b in body for _ in range(2)] + [
             rng.choice(bit_choice)

@@ -72,7 +72,7 @@ def convert(params, qstate, cfg: ViTConfig, policy: QuantPolicy, bit_config) -> 
     bits = [int(b) for b in bit_config]
     n_idx = {4: 0, 8: 1}
 
-    def smooth_layer(state, w, b, bit, s_in_next):
+    def smooth_layer(state, w, b, bit):
         """qkv/fc1-style layer with cached per-bit smoothquant."""
         j = n_idx[bit]
         cs = state["channel_scale"][j]
@@ -119,14 +119,14 @@ def convert(params, qstate, cfg: ViTConfig, policy: QuantPolicy, bit_config) -> 
         sb = {
             "norm1_w": blk["norm1"]["w"], "norm1_b": blk["norm1"]["b"],
             "norm2_w": blk["norm2"]["w"], "norm2_b": blk["norm2"]["b"],
-            "qkv": smooth_layer(aq, blk["qkv"]["w"], blk["qkv"]["b"], b_qkv, None),
+            "qkv": smooth_layer(aq, blk["qkv"]["w"], blk["qkv"]["b"], b_qkv),
             "s_qact1": aq["qact1"]["scale"],
             "s_attn1": aq["qact_attn1"]["scale"],
             "s_qact2a": aq["qact2"]["scale"],
             "proj": plain_layer(aq["proj_wscale"], blk["proj"]["w"], blk["proj"]["b"], b_proj),
             "s_qact3": aq["qact3"]["scale"],
             "s_res1": bq["qact2"]["scale"],
-            "mlp_fc1": smooth_layer(mq, blk["fc1"]["w"], blk["fc1"]["b"], b_fc1, None),
+            "mlp_fc1": smooth_layer(mq, blk["fc1"]["w"], blk["fc1"]["b"], b_fc1),
             "s_mq1": mq["qact1"]["scale"],
             "fc2": plain_layer(mq["fc2_wscale"], blk["fc2"]["w"], blk["fc2"]["b"], b_fc2),
             "s_mq2": mq["qact2"]["scale"],

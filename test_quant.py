@@ -90,20 +90,6 @@ def build_parser():
     return p
 
 
-class AverageMeter:
-    """test_quant.py:530-546 (duplicated from p2vit_tpu.profiling so the CLI
-    keeps its deferred-jax-import startup: --help must not init a backend)."""
-
-    def __init__(self):
-        self.val = self.avg = self.sum = self.count = 0.0
-
-    def update(self, val, n=1):
-        self.val = val
-        self.sum += val * n
-        self.count += n
-        self.avg = self.sum / self.count
-
-
 def accuracy(logits, target, topk=(1,)):
     """top-k accuracy in percent (test_quant.py:549-562)."""
     logits = np.asarray(logits)
@@ -124,6 +110,7 @@ def main():
 
     from p2vit_tpu import checkpoints, data, search
     from p2vit_tpu.config import make_policy
+    from p2vit_tpu.profiling import AverageMeter
     from p2vit_tpu.models import MODEL_ZOO, PREPROCESS
     from p2vit_tpu.models import vit
 

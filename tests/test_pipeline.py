@@ -3,6 +3,7 @@ data-free generation (tiny shapes, CPU)."""
 
 import os
 import random
+import time
 
 import numpy as np
 import pytest
@@ -199,6 +200,19 @@ def test_search_pareto_and_evolution():
     )
     assert len(pop) <= 4
     assert pop[0][1] >= pop[-1][1]
+
+
+def test_sample_bit_configs_attempt_bound():
+    """A constraint so tight nothing is accepted must return promptly (the
+    reference's unbounded 2^(n-1) rejection loop would spin ~2^49 times,
+    test_quant.py:324-341; our sampler caps draw attempts)."""
+    flops = vit_flops(TINY)
+    t0 = time.time()
+    out = search.sample_bit_configs(
+        flops, random.Random(0), constraint_ratio=0.5, max_attempts=2000
+    )
+    assert out == []
+    assert time.time() - t0 < 10.0
 
 
 def test_datafree_generation(tiny_model):

@@ -242,6 +242,122 @@ def load_pretrained(model_name: str, cfg, path: str | None = None) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# Decision import: reference torch model -> our QuantState
+# ---------------------------------------------------------------------------
+
+# dic_scale key order must match WEIGHT_CALIB_BIT_TYPES / the wscale row
+# layout (bit_type.py; models/vit.py EVAL_QMIN comment)
+_WEIGHT_DIC_KEYS = ("uint3", "uint4", "int4", "int8")
+
+
+def import_reference_state(ref_model, cfg: ViTConfig):
+    """Ingest a CALIBRATED reference ViT (vit_fquant.VisionTransformer after
+    model_open_calibrate → last_calibrate forward → model_quant) into our
+    QuantState, decoupling bit-exact quantization decisions from
+    preprocessing/batch-order identity (SURVEY §7 hard parts).
+
+    State sources in the reference modules:
+      * activation nodes: ``m.quantizer.scale`` / ``.zero_point``
+        (/root/reference/models/ptq/quantizer/uniform.py:25-46),
+      * weight nodes: ``m.quantizer.dic_scale[bit_name]`` per-bit dics
+        (uniform.py:44-46),
+      * smoothquant caches: ``best_scale``/``best_act_scale``/``best_act_zp``
+        /``best_weight_scale`` lists indexed by bit_pool
+        (vit_fquant.py:323-331; layers_quant.py:337-346).
+
+    PTF masks are not stored separately by the reference (the scale vector
+    already carries them, ptf.py:151); the mask entry is recomputed as
+    ``round(scale / scale.min())`` — exactly what integer LN derives from
+    the scale at run time (layers.py:309-313) — so it may differ from the
+    original {1,2,4,8} mask by a global factor when no channel used
+    multiplier 1; nothing consumes it beyond that derivation.
+
+    Returns a CalibResult whose ``global_distance`` is zeros: the per-bit
+    weight distances are a calibration-forward by-product the reference
+    never stores on modules, so imported state serves fixed-bit evaluation;
+    run ``calibrate`` for the mixed-precision search artifacts.
+    """
+    from .models.common import vit_flops
+    from .models.vit import CalibResult
+
+    def arr(t):
+        return jnp.asarray(np.asarray(t.detach().cpu(), dtype=np.float32))
+
+    def act(m):
+        q = m.quantizer
+        scale, zp = arr(q.scale), arr(q.zero_point)
+        if scale.ndim == 0 or scale.size == 1:
+            return {"scale": scale.reshape(()), "zp": zp.reshape(())}
+        scale = scale.reshape(-1)
+        mask = jnp.round(scale / scale.min())
+        return {"scale": scale, "zp": zp.reshape(()), "mask": mask}
+
+    def wdic(m, o):
+        dic = m.quantizer.dic_scale
+        return jnp.stack(
+            [jnp.broadcast_to(arr(dic[k]).reshape(-1), (o,)) for k in _WEIGHT_DIC_KEYS]
+        )
+
+    def smooth(mod, o):
+        return {
+            "channel_scale": jnp.stack([arr(s) for s in mod.best_scale]),
+            "qact0_scale": jnp.stack([arr(s).reshape(()) for s in mod.best_act_scale]),
+            "qact0_zp": jnp.stack([arr(z).reshape(()) for z in mod.best_act_zp]),
+            "wscale": jnp.stack(
+                [
+                    jnp.stack(
+                        [
+                            jnp.broadcast_to(arr(dic[k]).reshape(-1), (o,))
+                            for k in _WEIGHT_DIC_KEYS
+                        ]
+                    )
+                    for dic in mod.best_weight_scale
+                ]
+            ),
+        }
+
+    c, hid = cfg.embed_dim, cfg.hidden_dim
+    qs: dict = {
+        "qact_input": act(ref_model.qact_input),
+        "patch": {
+            "wscale": wdic(ref_model.patch_embed.proj, c),
+            "qact": act(ref_model.patch_embed.qact),
+        },
+        "qact_embed": act(ref_model.qact_embed),
+        "qact_pos": act(ref_model.qact_pos),
+        "qact1": act(ref_model.qact1),
+        "blocks": [],
+        "qact2": act(ref_model.qact2),
+        "head_wscale": wdic(ref_model.head, cfg.num_classes),
+        "act_out": act(ref_model.act_out),
+    }
+    for blk in ref_model.blocks:
+        a = smooth(blk.attn, 3 * c)
+        a.update(
+            qact1=act(blk.attn.qact1),
+            qact_attn1=act(blk.attn.qact_attn1),
+            qact2=act(blk.attn.qact2),
+            proj_wscale=wdic(blk.attn.proj, c),
+            qact3=act(blk.attn.qact3),
+        )
+        m = smooth(blk.mlp, hid)
+        m.update(
+            qact1=act(blk.mlp.qact1),
+            fc2_wscale=wdic(blk.mlp.fc2, c),
+            qact2=act(blk.mlp.qact2),
+        )
+        qs["blocks"].append(
+            {"attn": a, "qact2": act(blk.qact2), "mlp": m, "qact4": act(blk.qact4)}
+        )
+    flops = vit_flops(cfg)
+    return CalibResult(
+        qstate=qs,
+        flops=flops,
+        global_distance=jnp.zeros((len(flops) - 1, len(_WEIGHT_DIC_KEYS))),
+    )
+
+
+# ---------------------------------------------------------------------------
 # QuantState serialization (first-class calibration artifact)
 # ---------------------------------------------------------------------------
 

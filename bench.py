@@ -112,7 +112,7 @@ def main():
         )
 
         def calib_step(xx):
-            qs, _ = vit._calibrate_jit(params, cfg, policy, xx)
+            qs, _ = vit._calibrate_jit(params, cfg, policy, xx, None)
             leaves = jax.tree.leaves(qs)
             return jnp.stack(
                 [jnp.asarray(l, jnp.float32).sum() for l in leaves]

@@ -38,8 +38,9 @@ from ..config import QuantPolicy
 from ..quant.bit_type import BIT_TYPE_DICT
 from ..quant.fake_quant import fake_quant
 from ..quant.intops import int_layernorm, log_int_softmax
-from ..quant.solve import solve_act, solve_weight_all_bits
+from ..quant.solve import accumulate_act_stats, solve_act, solve_weight_all_bits
 from .common import gelu, layer_norm, linear, trunc_normal
+from .vit import _sget
 
 INT8 = BIT_TYPE_DICT["int8"]
 _WBIT_ROW = {4: 2, 8: 3}  # uniform weight bit -> wscale dic row (int4/int8)
@@ -290,21 +291,28 @@ class SwinCalibResult:
     flops: list = dataclasses.field(default_factory=list)  # serialization compat
 
 
-def _qact(method, x, bit_type=INT8):
-    out = solve_act(method, x, bit_type)
+def _qact(method, x, bit_type=INT8, prev=None):
+    out = solve_act(method, x, bit_type, stats=accumulate_act_stats(method, x, prev))
     if len(out) == 3:
         return {"scale": out[0], "zp": out[1], "mask": out[2]}
     return {"scale": out[0], "zp": out[1]}
 
 
-def calibrate(params, cfg: SwinConfig, policy: QuantPolicy, x) -> SwinCalibResult:
-    qs, dists = _calibrate_jit(params, cfg, policy, x)
+def calibrate(params, cfg: SwinConfig, policy: QuantPolicy, x,
+              stats=None) -> SwinCalibResult:
+    qs, dists = _calibrate_jit(params, cfg, policy, x, stats)
     return SwinCalibResult(qstate=qs, global_distance=dists)
 
 
+def collect_stats(params, cfg: SwinConfig, policy: QuantPolicy, x, prev=None):
+    """Multi-batch stats pass (see models/vit.py collect_stats)."""
+    return _collect_stats_jit(params, cfg, policy, x, prev)
+
+
 @functools.partial(jax.jit, static_argnums=(1, 2))
-def _calibrate_jit(params, cfg: SwinConfig, policy: QuantPolicy, x):
-    """Single-batch calibration walker (same protocol as models/vit.py)."""
+def _calibrate_jit(params, cfg: SwinConfig, policy: QuantPolicy, x, stats=None):
+    """Calibration walker (same protocol as models/vit.py); ``stats`` are
+    running multi-batch activation statistics keyed like the qstate."""
     a, a_ln = policy.observer_a, policy.observer_a_ln
     eps = cfg.ln_eps
     dists: list = []
@@ -318,9 +326,9 @@ def _calibrate_jit(params, cfg: SwinConfig, policy: QuantPolicy, x):
     patches = _patches(x, cfg.patch_size)
     qs["patch_wscale"] = wsolve(params["patch_embed"]["w"], patches)
     x = linear(patches, params["patch_embed"]["w"], params["patch_embed"]["b"])
-    qs["patch_qact_bn"] = _qact(a, x)
+    qs["patch_qact_bn"] = _qact(a, x, prev=_sget(stats, "patch_qact_bn"))
     x = layer_norm(x, params["patch_norm"]["w"], params["patch_norm"]["b"], eps)
-    qs["patch_qact"] = _qact(a, x)
+    qs["patch_qact"] = _qact(a, x, prev=_sget(stats, "patch_qact"))
 
     qs["stages"] = []
     for i, stage in enumerate(params["stages"]):
@@ -329,13 +337,14 @@ def _calibrate_jit(params, cfg: SwinConfig, policy: QuantPolicy, x):
         heads = cfg.num_heads[i]
         sq: dict = {"blocks": []}
         for j, blk in enumerate(stage["blocks"]):
+            pbq = _sget(stats, "stages", i, "blocks", j)
             shift = 0 if (j % 2 == 0 or res <= cfg.window_size) else ws // 2
             b, l, c = x.shape
             hd = c // heads
             bq: dict = {}
             shortcut = x
             h = layer_norm(x, blk["norm1"]["w"], blk["norm1"]["b"], eps)
-            bq["qact1"] = _qact(a, h)
+            bq["qact1"] = _qact(a, h, prev=_sget(pbq, "qact1"))
             h = h.reshape(b, res, res, c)
             if shift:
                 h = jnp.roll(h, (-shift, -shift), axis=(1, 2))
@@ -344,15 +353,17 @@ def _calibrate_jit(params, cfg: SwinConfig, policy: QuantPolicy, x):
             aq: dict = {}
             aq["qkv_wscale"] = wsolve(blk["qkv"]["w"], hw)
             hw2 = linear(hw, blk["qkv"]["w"], blk["qkv"]["b"])
-            aq["qact1"] = _qact(a, hw2)
+            aq["qact1"] = _qact(a, hw2, prev=_sget(pbq, "attn", "qact1"))
             b_, n, _ = hw2.shape
             qkv = hw2.reshape(b_, n, 3, heads, hd).transpose(2, 0, 3, 1, 4)
             q, k, v = qkv[0] * hd**-0.5, qkv[1], qkv[2]
             attn = q @ k.transpose(0, 1, 3, 2)
-            aq["qact_attn1"] = _qact(a, attn)
-            aq["qact_table"] = _qact(a, blk["bias_table"])
+            aq["qact_attn1"] = _qact(a, attn, prev=_sget(pbq, "attn", "qact_attn1"))
+            aq["qact_table"] = _qact(
+                a, blk["bias_table"], prev=_sget(pbq, "attn", "qact_table")
+            )
             attn = attn + _rel_bias(blk, cfg, i)[None]
-            aq["qact2"] = _qact(a, attn)
+            aq["qact2"] = _qact(a, attn, prev=_sget(pbq, "attn", "qact2"))
             if shift:
                 mask = jnp.asarray(shift_attn_mask(res, res, ws, shift))
                 nw = mask.shape[0]
@@ -363,48 +374,142 @@ def _calibrate_jit(params, cfg: SwinConfig, policy: QuantPolicy, x):
             else:
                 attn = jax.nn.softmax(attn, axis=-1)
             hw = (attn @ v).transpose(0, 2, 1, 3).reshape(b_, n, c)
-            aq["qact3"] = _qact(a, hw)
+            aq["qact3"] = _qact(a, hw, prev=_sget(pbq, "attn", "qact3"))
             aq["proj_wscale"] = wsolve(blk["proj"]["w"], hw)
             hw = linear(hw, blk["proj"]["w"], blk["proj"]["b"])
-            aq["qact4"] = _qact(a, hw)
+            aq["qact4"] = _qact(a, hw, prev=_sget(pbq, "attn", "qact4"))
             bq["attn"] = aq
             h = window_reverse(hw, ws, res, res)
             if shift:
                 h = jnp.roll(h, (shift, shift), axis=(1, 2))
             x = shortcut + h.reshape(b, l, c)
-            bq["qact2"] = _qact(a_ln, x)
+            bq["qact2"] = _qact(a_ln, x, prev=_sget(pbq, "qact2"))
             # --- mlp ---
             h = layer_norm(x, blk["norm2"]["w"], blk["norm2"]["b"], eps)
-            bq["qact3"] = _qact(a, h)
+            bq["qact3"] = _qact(a, h, prev=_sget(pbq, "qact3"))
             bq["fc1_wscale"] = wsolve(blk["fc1"]["w"], h)
             h = gelu(linear(h, blk["fc1"]["w"], blk["fc1"]["b"]))
-            bq["mlp_qact1"] = _qact(a, h)
+            bq["mlp_qact1"] = _qact(a, h, prev=_sget(pbq, "mlp_qact1"))
             bq["fc2_wscale"] = wsolve(blk["fc2"]["w"], h)
             h = linear(h, blk["fc2"]["w"], blk["fc2"]["b"])
-            bq["mlp_qact2"] = _qact(a_ln, h)
+            bq["mlp_qact2"] = _qact(a_ln, h, prev=_sget(pbq, "mlp_qact2"))
             x = x + h
-            bq["qact4"] = _qact(a_ln, x)
+            bq["qact4"] = _qact(a_ln, x, prev=_sget(pbq, "qact4"))
             sq["blocks"].append(bq)
         if "downsample" in stage:
             ds = stage["downsample"]
+            pdq = _sget(stats, "stages", i, "downsample")
             dq: dict = {}
             x = _merge_patches(x, res)
             x = layer_norm(x, ds["norm"]["w"], ds["norm"]["b"], eps)
-            dq["qact1"] = _qact(a, x)
+            dq["qact1"] = _qact(a, x, prev=_sget(pdq, "qact1"))
             dq["red_wscale"] = wsolve(ds["reduction"]["w"], x)
             x = linear(x, ds["reduction"]["w"], None)
-            dq["qact2"] = _qact(a_ln, x)
+            dq["qact2"] = _qact(a_ln, x, prev=_sget(pdq, "qact2"))
             sq["downsample"] = dq
         qs["stages"].append(sq)
 
     x = layer_norm(x, params["norm"]["w"], params["norm"]["b"], eps)
-    qs["qact2"] = _qact(a, x)
+    qs["qact2"] = _qact(a, x, prev=_sget(stats, "qact2"))
     x = x.mean(axis=1)
-    qs["qact3"] = _qact(a, x)
+    qs["qact3"] = _qact(a, x, prev=_sget(stats, "qact3"))
     qs["head_wscale"] = wsolve(params["head"]["w"], x)
     x = linear(x, params["head"]["w"], params["head"]["b"])
-    qs["act_out"] = _qact(a, x)
+    qs["act_out"] = _qact(a, x, prev=_sget(stats, "act_out"))
     return qs, jnp.stack(dists)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _collect_stats_jit(params, cfg: SwinConfig, policy: QuantPolicy, x, prev):
+    """Stats-only walker: the fp forward of ``fp_forward`` with min/max
+    accumulation at every activation node (keys mirror the qstate); LIS
+    falls back to fp softmax like the reference's non-last calibrate
+    batches (layers.py:429-447)."""
+    a, a_ln = policy.observer_a, policy.observer_a_ln
+    eps = cfg.ln_eps
+    st: dict = {}
+
+    def acc(method, v, *path):
+        return accumulate_act_stats(method, v, _sget(prev, *path))
+
+    patches = _patches(x, cfg.patch_size)
+    x = linear(patches, params["patch_embed"]["w"], params["patch_embed"]["b"])
+    st["patch_qact_bn"] = acc(a, x, "patch_qact_bn")
+    x = layer_norm(x, params["patch_norm"]["w"], params["patch_norm"]["b"], eps)
+    st["patch_qact"] = acc(a, x, "patch_qact")
+
+    st["stages"] = []
+    for i, stage in enumerate(params["stages"]):
+        res = cfg.stage_res(i)
+        ws = min(cfg.window_size, res)
+        heads = cfg.num_heads[i]
+        ss: dict = {"blocks": []}
+        for j, blk in enumerate(stage["blocks"]):
+            P = ("stages", i, "blocks", j)
+            shift = 0 if (j % 2 == 0 or res <= cfg.window_size) else ws // 2
+            b, l, c = x.shape
+            hd = c // heads
+            bs: dict = {"attn": {}}
+            shortcut = x
+            h = layer_norm(x, blk["norm1"]["w"], blk["norm1"]["b"], eps)
+            bs["qact1"] = acc(a, h, *P, "qact1")
+            h = h.reshape(b, res, res, c)
+            if shift:
+                h = jnp.roll(h, (-shift, -shift), axis=(1, 2))
+            hw = window_partition(h, ws)
+            hw2 = linear(hw, blk["qkv"]["w"], blk["qkv"]["b"])
+            bs["attn"]["qact1"] = acc(a, hw2, *P, "attn", "qact1")
+            b_, n, _ = hw2.shape
+            qkv = hw2.reshape(b_, n, 3, heads, hd).transpose(2, 0, 3, 1, 4)
+            q, k, v = qkv[0] * hd**-0.5, qkv[1], qkv[2]
+            attn = q @ k.transpose(0, 1, 3, 2)
+            bs["attn"]["qact_attn1"] = acc(a, attn, *P, "attn", "qact_attn1")
+            bs["attn"]["qact_table"] = acc(
+                a, blk["bias_table"], *P, "attn", "qact_table"
+            )
+            attn = attn + _rel_bias(blk, cfg, i)[None]
+            bs["attn"]["qact2"] = acc(a, attn, *P, "attn", "qact2")
+            if shift:
+                mask = jnp.asarray(shift_attn_mask(res, res, ws, shift))
+                nw = mask.shape[0]
+                attn = attn.reshape(b_ // nw, nw, heads, n, n) + mask[None, :, None]
+                attn = attn.reshape(b_, heads, n, n)
+            attn = jax.nn.softmax(attn, axis=-1)  # no LIS scale yet (non-last)
+            hw = (attn @ v).transpose(0, 2, 1, 3).reshape(b_, n, c)
+            bs["attn"]["qact3"] = acc(a, hw, *P, "attn", "qact3")
+            hw = linear(hw, blk["proj"]["w"], blk["proj"]["b"])
+            bs["attn"]["qact4"] = acc(a, hw, *P, "attn", "qact4")
+            h = window_reverse(hw, ws, res, res)
+            if shift:
+                h = jnp.roll(h, (shift, shift), axis=(1, 2))
+            x = shortcut + h.reshape(b, l, c)
+            bs["qact2"] = acc(a_ln, x, *P, "qact2")
+            h = layer_norm(x, blk["norm2"]["w"], blk["norm2"]["b"], eps)
+            bs["qact3"] = acc(a, h, *P, "qact3")
+            h = gelu(linear(h, blk["fc1"]["w"], blk["fc1"]["b"]))
+            bs["mlp_qact1"] = acc(a, h, *P, "mlp_qact1")
+            h = linear(h, blk["fc2"]["w"], blk["fc2"]["b"])
+            bs["mlp_qact2"] = acc(a_ln, h, *P, "mlp_qact2")
+            x = x + h
+            bs["qact4"] = acc(a_ln, x, *P, "qact4")
+            ss["blocks"].append(bs)
+        if "downsample" in stage:
+            ds = stage["downsample"]
+            x = _merge_patches(x, res)
+            x = layer_norm(x, ds["norm"]["w"], ds["norm"]["b"], eps)
+            dq = {"qact1": acc(a, x, "stages", i, "downsample", "qact1")}
+            x = linear(x, ds["reduction"]["w"], None)
+            dq["qact2"] = acc(a_ln, x, "stages", i, "downsample", "qact2")
+            ss["downsample"] = dq
+        st["stages"].append(ss)
+
+    x = layer_norm(x, params["norm"]["w"], params["norm"]["b"], eps)
+    st["qact2"] = acc(a, x, "qact2")
+    x = x.mean(axis=1)
+    st["qact3"] = acc(a, x, "qact3")
+    x = linear(x, params["head"]["w"], params["head"]["b"])
+    st["act_out"] = acc(a, x, "act_out")
+    return st
 
 
 # ---------------------------------------------------------------------------

@@ -40,7 +40,7 @@ from ..quant.bit_type import BIT_TYPE_DICT, EVAL_BIT_POOL
 from ..quant.fake_quant import fake_quant, fake_quant_dyn, lp_loss
 from ..quant.intops import int_layernorm, log_int_softmax
 from ..quant.smoothquant import ATTN_ALPHA_POOL, MLP_ALPHA_POOL, pot_smooth_channel_scale
-from ..quant.solve import solve_act, solve_weight_all_bits
+from ..quant.solve import accumulate_act_stats, solve_act, solve_weight_all_bits
 from .common import (
     ViTConfig,
     extract_patches,
@@ -169,9 +169,16 @@ class CalibResult:
     global_distance: jnp.ndarray  # (num_matmuls - 1, 4) per-bit L2 errors
 
 
-def _qact(method, x, bit_type=INT8):
-    """Solve one activation node; returns its qstate dict entry."""
-    out = solve_act(method, x, bit_type)
+def _qact(method, x, bit_type=INT8, prev=None):
+    """Solve one activation node; returns its qstate dict entry.
+
+    ``prev``: running MinMaxStats accumulated over earlier calibration
+    batches (multi-batch mode); the node's solve then uses the merged
+    range but searches on THIS (last) batch's tensor — the reference's
+    last-calibrate semantics (minmax.py:34-40 reads self.max_val, the
+    accumulated state, while round_x reconstructs outputs from x).
+    """
+    out = solve_act(method, x, bit_type, stats=accumulate_act_stats(method, x, prev))
     if len(out) == 3:
         scale, zp, mask = out
         return {"scale": scale, "zp": zp, "mask": mask}
@@ -179,7 +186,7 @@ def _qact(method, x, bit_type=INT8):
     return {"scale": scale, "zp": zp}
 
 
-def _smooth_calibrate(x, w, bias, alpha_pool, policy, distances):
+def _smooth_calibrate(x, w, bias, alpha_pool, policy, distances, prev_q0=None):
     """Shared qkv/fc1 PoT-SmoothQuant calibration.
 
     Mirrors vit_fquant.py:232-333 (attention, α-pool [0.35]) and
@@ -187,20 +194,33 @@ def _smooth_calibrate(x, w, bias, alpha_pool, policy, distances):
     qact0 + per-bit weight scales, then per eval bit measure the fp-vs-quant
     L2 loss of the layer output and keep the best α's caches.
 
+    ``prev_q0``: running qact0 stats over earlier batches' smoothed inputs
+    (each batch smoothed by its OWN per-batch channel scale, matching the
+    reference's non-last calibrate branch which recomputes channel_scale
+    per forward, vit_fquant.py:233-333). The qact0 observer accumulates
+    across the α pool too, like the reference's single observer updated
+    per α. Weight observers see only the last batch's smoothed weight:
+    across batches the reference's single weight observer flips between
+    channel- and layer-wise modes, collapsing every channel's range to the
+    global max from batch 2 on (minmax.py:15-32) — a degenerate
+    accumulation we deliberately do not replicate.
+
     Returns (state_dict, gt) where gt (the smoothed fp output of the LAST α,
     vit_fquant.py:333) flows onward through calibration.
     """
     c = x.shape[-1]
-    x2 = x.reshape(-1, c)
     cs_pool, act_s, act_zp, wsc_pool, losses = [], [], [], [], []
     gt = None
     dist_last = None
+    running_q0 = prev_q0
     for alpha in alpha_pool:
         cs = pot_smooth_channel_scale(x, w, alpha)
         x_sm = x / cs
         w_sm = w * cs[None, :]
         gt = linear(x_sm, w_sm, bias)
-        q = _qact(policy.observer_a, x_sm)
+        running_q0 = accumulate_act_stats(policy.observer_a, x_sm, running_q0)
+        out = solve_act(policy.observer_a, x_sm, INT8, stats=running_q0)
+        q = {"scale": out[0], "zp": out[1]}
         wscale, dist = solve_weight_all_bits(w_sm, x_sm.reshape(-1, c))
         dist_last = dist
         cs_pool.append(cs)
@@ -229,21 +249,52 @@ def _smooth_calibrate(x, w, bias, alpha_pool, policy, distances):
     return state, gt
 
 
-def calibrate(params, cfg: ViTConfig, policy: QuantPolicy, x) -> CalibResult:
-    """One-batch calibration pass (stats + param solve, quant off).
+def calibrate(params, cfg: ViTConfig, policy: QuantPolicy, x, stats=None) -> CalibResult:
+    """Calibration pass (stats + param solve, quant off).
 
     JIT-compiled end to end (cfg/policy static, frozen dataclasses): the
     whole PoT/PTF/smoothquant decision procedure — argmins included — runs
     as one XLA program on device instead of thousands of eager op
     dispatches. Returns a CalibResult whose qstate/distances are device
     arrays.
+
+    ``stats``: optional running activation statistics from earlier
+    calibration batches (``collect_stats``). Default None = single-batch
+    calibration, the reference driver's actual behavior
+    (/root/reference/test_quant.py:306-307).
     """
-    qs, dists = _calibrate_jit(params, cfg, policy, x)
+    qs, dists = _calibrate_jit(params, cfg, policy, x, stats)
     return CalibResult(qstate=qs, flops=vit_flops(cfg), global_distance=dists)
 
 
+def collect_stats(params, cfg: ViTConfig, policy: QuantPolicy, x, prev=None):
+    """Observe one calibration batch: the multi-batch stats pass.
+
+    The reference's calibrate-but-not-last forward (observer.update only,
+    no param solve; LIS falls back to fp softmax because no scale exists
+    yet, layers.py:429-447). Feed the result of the last batch's
+    ``collect_stats`` into ``calibrate(..., stats=...)``:
+
+        stats = None
+        for b in batches[:-1]:
+            stats = collect_stats(params, cfg, policy, b, stats)
+        calib = calibrate(params, cfg, policy, batches[-1], stats=stats)
+    """
+    return _collect_stats_jit(params, cfg, policy, x, prev)
+
+
+def _sget(stats, *path):
+    """Navigate the stats pytree; None stays None (single-batch mode)."""
+    if stats is None:
+        return None
+    node = stats
+    for p in path:
+        node = node[p]
+    return node
+
+
 @functools.partial(jax.jit, static_argnums=(1, 2))
-def _calibrate_jit(params, cfg: ViTConfig, policy: QuantPolicy, x):
+def _calibrate_jit(params, cfg: ViTConfig, policy: QuantPolicy, x, stats):
     """Traced body of ``calibrate``.
 
     Follows the reference calibration forward (SURVEY §3.1) node for node;
@@ -256,34 +307,39 @@ def _calibrate_jit(params, cfg: ViTConfig, policy: QuantPolicy, x):
     dists: list = []
     qs: dict = {}
 
-    qs["qact_input"] = _qact(a, x)
+    qs["qact_input"] = _qact(a, x, prev=_sget(stats, "qact_input"))
     # patch embed: conv-as-matmul; PoT search sees the im2col'd input
     patches = extract_patches(x, cfg.patch_size)
     pw, pb = params["patch_embed"]["w"], params["patch_embed"]["b"]
     p2 = patches.reshape(-1, patches.shape[-1])
     patch_wscale, _ = solve_weight_all_bits(pw, p2)  # QConv2d appends no distance
     x = linear(patches, pw, pb)
-    qs["patch"] = {"wscale": patch_wscale, "qact": _qact(a, x)}
+    qs["patch"] = {
+        "wscale": patch_wscale,
+        "qact": _qact(a, x, prev=_sget(stats, "patch", "qact")),
+    }
 
     b = x.shape[0]
     cls = jnp.broadcast_to(params["cls_token"], (b, 1, cfg.embed_dim))
     x = jnp.concatenate([cls, x], axis=1)
-    qs["qact_embed"] = _qact(a, x)
-    qs["qact_pos"] = _qact(a, params["pos_embed"])
+    qs["qact_embed"] = _qact(a, x, prev=_sget(stats, "qact_embed"))
+    qs["qact_pos"] = _qact(a, params["pos_embed"], prev=_sget(stats, "qact_pos"))
     x = x + params["pos_embed"]
-    qs["qact1"] = _qact(a_ln, x)
+    qs["qact1"] = _qact(a_ln, x, prev=_sget(stats, "qact1"))
 
     qs["blocks"] = []
-    for blk in params["blocks"]:
+    for i, blk in enumerate(params["blocks"]):
+        sb = _sget(stats, "blocks", i)
         bq: dict = {}
         # --- attention ---
         h = layer_norm(x, blk["norm1"]["w"], blk["norm1"]["b"], eps)
         if policy.smoothquant:
             attn_state, h = _smooth_calibrate(
-                h, blk["qkv"]["w"], blk["qkv"]["b"], ATTN_ALPHA_POOL, policy, dists
+                h, blk["qkv"]["w"], blk["qkv"]["b"], ATTN_ALPHA_POOL, policy,
+                dists, prev_q0=_sget(sb, "attn", "qact0"),
             )
         else:
-            q0 = _qact(a, h)
+            q0 = _qact(a, h, prev=_sget(sb, "attn", "qact0"))
             wscale, dist = solve_weight_all_bits(
                 blk["qkv"]["w"], h.reshape(-1, cfg.embed_dim)
             )
@@ -295,10 +351,10 @@ def _calibrate_jit(params, cfg: ViTConfig, policy: QuantPolicy, x):
                 "wscale": jnp.stack([wscale] * N_EVAL_BITS),
             }
             h = linear(h, blk["qkv"]["w"], blk["qkv"]["b"])
-        attn_state["qact1"] = _qact(a, h)
+        attn_state["qact1"] = _qact(a, h, prev=_sget(sb, "attn", "qact1"))
         q, k, v = split_qkv(h, cfg.num_heads)
         attn = (q @ k.transpose(0, 1, 3, 2)) * cfg.attn_scale
-        attn_state["qact_attn1"] = _qact(a, attn)
+        attn_state["qact_attn1"] = _qact(a, attn, prev=_sget(sb, "attn", "qact_attn1"))
         if policy.int_softmax:
             # scale is already solved within this forward, so calibration
             # sees the LIS output exactly like the reference (layers.py:419)
@@ -308,25 +364,26 @@ def _calibrate_jit(params, cfg: ViTConfig, policy: QuantPolicy, x):
         else:
             attn = jax.nn.softmax(attn, axis=-1)
         h = merge_heads(attn @ v)
-        attn_state["qact2"] = _qact(a, h)
+        attn_state["qact2"] = _qact(a, h, prev=_sget(sb, "attn", "qact2"))
         proj_wscale, dist = solve_weight_all_bits(
             blk["proj"]["w"], h.reshape(-1, cfg.embed_dim)
         )
         dists.append(dist)
         attn_state["proj_wscale"] = proj_wscale
         h = linear(h, blk["proj"]["w"], blk["proj"]["b"])
-        attn_state["qact3"] = _qact(a_ln, h)
+        attn_state["qact3"] = _qact(a_ln, h, prev=_sget(sb, "attn", "qact3"))
         bq["attn"] = attn_state
         x = x + h
-        bq["qact2"] = _qact(a_ln, x)
+        bq["qact2"] = _qact(a_ln, x, prev=_sget(sb, "qact2"))
         # --- mlp ---
         h = layer_norm(x, blk["norm2"]["w"], blk["norm2"]["b"], eps)
         if policy.smoothquant:
             mlp_state, h = _smooth_calibrate(
-                h, blk["fc1"]["w"], blk["fc1"]["b"], MLP_ALPHA_POOL, policy, dists
+                h, blk["fc1"]["w"], blk["fc1"]["b"], MLP_ALPHA_POOL, policy,
+                dists, prev_q0=_sget(sb, "mlp", "qact0"),
             )
         else:
-            q0 = _qact(a, h)
+            q0 = _qact(a, h, prev=_sget(sb, "mlp", "qact0"))
             wscale, dist = solve_weight_all_bits(
                 blk["fc1"]["w"], h.reshape(-1, cfg.embed_dim)
             )
@@ -339,28 +396,126 @@ def _calibrate_jit(params, cfg: ViTConfig, policy: QuantPolicy, x):
             }
             h = linear(h, blk["fc1"]["w"], blk["fc1"]["b"])
         h = gelu(h)
-        mlp_state["qact1"] = _qact(a, h)
+        mlp_state["qact1"] = _qact(a, h, prev=_sget(sb, "mlp", "qact1"))
         fc2_wscale, dist = solve_weight_all_bits(
             blk["fc2"]["w"], h.reshape(-1, cfg.hidden_dim)
         )
         dists.append(dist)
         mlp_state["fc2_wscale"] = fc2_wscale
         h = linear(h, blk["fc2"]["w"], blk["fc2"]["b"])
-        mlp_state["qact2"] = _qact(a_ln, h)
+        mlp_state["qact2"] = _qact(a_ln, h, prev=_sget(sb, "mlp", "qact2"))
         bq["mlp"] = mlp_state
         x = x + h
-        bq["qact4"] = _qact(a_ln, x)
+        bq["qact4"] = _qact(a_ln, x, prev=_sget(sb, "qact4"))
         qs["blocks"].append(bq)
 
     x = layer_norm(x, params["norm"]["w"], params["norm"]["b"], eps)[:, 0]
-    qs["qact2"] = _qact(a, x)
+    qs["qact2"] = _qact(a, x, prev=_sget(stats, "qact2"))
     head_wscale, dist = solve_weight_all_bits(params["head"]["w"], x)
     dists.append(dist)
     qs["head_wscale"] = head_wscale
     x = linear(x, params["head"]["w"], params["head"]["b"])
-    qs["act_out"] = _qact(a, x)
+    qs["act_out"] = _qact(a, x, prev=_sget(stats, "act_out"))
 
     return qs, jnp.stack(dists)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _collect_stats_jit(params, cfg: ViTConfig, policy: QuantPolicy, x, prev):
+    """Stats-only calibration forward (the reference's non-last calibrate
+    batches): same graph as ``_calibrate_jit`` with fp values flowing, but
+    each activation node only merges its min/max into the running stats.
+    Smoothquant nodes observe the batch smoothed by the batch's OWN channel
+    scale and forward the smoothed fp output (vit_fquant.py:233-333); LIS
+    uses the fp-softmax fallback (no scale solved yet, layers.py:429-447).
+    """
+    a, a_ln = policy.observer_a, policy.observer_a_ln
+    eps = cfg.ln_eps
+    st: dict = {}
+
+    def smooth_collect(h, w, bias, alpha_pool, prev_q0):
+        running = prev_q0
+        gt = None
+        for alpha in alpha_pool:
+            cs = pot_smooth_channel_scale(h, w, alpha)
+            x_sm = h / cs
+            gt = linear(x_sm, w * cs[None, :], bias)
+            running = accumulate_act_stats(a, x_sm, running)
+        return running, gt
+
+    st["qact_input"] = accumulate_act_stats(a, x, _sget(prev, "qact_input"))
+    patches = extract_patches(x, cfg.patch_size)
+    x = linear(patches, params["patch_embed"]["w"], params["patch_embed"]["b"])
+    st["patch"] = {
+        "qact": accumulate_act_stats(a, x, _sget(prev, "patch", "qact"))
+    }
+
+    b = x.shape[0]
+    cls = jnp.broadcast_to(params["cls_token"], (b, 1, cfg.embed_dim))
+    x = jnp.concatenate([cls, x], axis=1)
+    st["qact_embed"] = accumulate_act_stats(a, x, _sget(prev, "qact_embed"))
+    st["qact_pos"] = accumulate_act_stats(
+        a, params["pos_embed"], _sget(prev, "qact_pos")
+    )
+    x = x + params["pos_embed"]
+    st["qact1"] = accumulate_act_stats(a_ln, x, _sget(prev, "qact1"))
+
+    st["blocks"] = []
+    for i, blk in enumerate(params["blocks"]):
+        pb = _sget(prev, "blocks", i)
+        bs: dict = {"attn": {}, "mlp": {}}
+        h = layer_norm(x, blk["norm1"]["w"], blk["norm1"]["b"], eps)
+        if policy.smoothquant:
+            bs["attn"]["qact0"], h = smooth_collect(
+                h, blk["qkv"]["w"], blk["qkv"]["b"], ATTN_ALPHA_POOL,
+                _sget(pb, "attn", "qact0"),
+            )
+        else:
+            bs["attn"]["qact0"] = accumulate_act_stats(
+                a, h, _sget(pb, "attn", "qact0")
+            )
+            h = linear(h, blk["qkv"]["w"], blk["qkv"]["b"])
+        bs["attn"]["qact1"] = accumulate_act_stats(a, h, _sget(pb, "attn", "qact1"))
+        q, k, v = split_qkv(h, cfg.num_heads)
+        attn = (q @ k.transpose(0, 1, 3, 2)) * cfg.attn_scale
+        bs["attn"]["qact_attn1"] = accumulate_act_stats(
+            a, attn, _sget(pb, "attn", "qact_attn1")
+        )
+        attn = jax.nn.softmax(attn, axis=-1)  # no LIS scale yet (non-last)
+        h = merge_heads(attn @ v)
+        bs["attn"]["qact2"] = accumulate_act_stats(a, h, _sget(pb, "attn", "qact2"))
+        h = linear(h, blk["proj"]["w"], blk["proj"]["b"])
+        bs["attn"]["qact3"] = accumulate_act_stats(
+            a_ln, h, _sget(pb, "attn", "qact3")
+        )
+        x = x + h
+        bs["qact2"] = accumulate_act_stats(a_ln, x, _sget(pb, "qact2"))
+        h = layer_norm(x, blk["norm2"]["w"], blk["norm2"]["b"], eps)
+        if policy.smoothquant:
+            bs["mlp"]["qact0"], h = smooth_collect(
+                h, blk["fc1"]["w"], blk["fc1"]["b"], MLP_ALPHA_POOL,
+                _sget(pb, "mlp", "qact0"),
+            )
+        else:
+            bs["mlp"]["qact0"] = accumulate_act_stats(
+                a, h, _sget(pb, "mlp", "qact0")
+            )
+            h = linear(h, blk["fc1"]["w"], blk["fc1"]["b"])
+        h = gelu(h)
+        bs["mlp"]["qact1"] = accumulate_act_stats(a, h, _sget(pb, "mlp", "qact1"))
+        h = linear(h, blk["fc2"]["w"], blk["fc2"]["b"])
+        bs["mlp"]["qact2"] = accumulate_act_stats(
+            a_ln, h, _sget(pb, "mlp", "qact2")
+        )
+        x = x + h
+        bs["qact4"] = accumulate_act_stats(a_ln, x, _sget(pb, "qact4"))
+        st["blocks"].append(bs)
+
+    x = layer_norm(x, params["norm"]["w"], params["norm"]["b"], eps)[:, 0]
+    st["qact2"] = accumulate_act_stats(a, x, _sget(prev, "qact2"))
+    x = linear(x, params["head"]["w"], params["head"]["b"])
+    st["act_out"] = accumulate_act_stats(a, x, _sget(prev, "act_out"))
+    return st
 
 
 def synthetic_qstate(cfg: ViTConfig) -> dict:

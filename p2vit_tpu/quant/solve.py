@@ -23,6 +23,9 @@ from .observers import (
     collect_minmax,
     collect_percentile,
     float_scale_params,
+    merge_ema,
+    merge_minmax,
+    merge_percentile,
     minmax_pot_act_params,
     minmax_pot_weight_params,
     omse_params,
@@ -30,6 +33,35 @@ from .observers import (
 )
 
 ACT_METHODS = ("minmax", "ema", "omse", "percentile", "ptf")
+
+
+def accumulate_act_stats(
+    method: str,
+    x: jnp.ndarray,
+    prev: MinMaxStats | None = None,
+) -> MinMaxStats:
+    """Observe one calibration batch for an activation node, merging into
+    running stats from earlier batches.
+
+    This is the multi-batch ``observer.update`` loop the reference driver
+    collects batches for but never actually runs more than once
+    (/root/reference/test_quant.py:285-307): minmax/omse/ptf accumulate
+    running min/max (minmax.py:15-32), ema/percentile EMA-merge
+    (ema.py:14-29, percentile.py:29-43). ``prev=None`` (single batch) makes
+    this identical to observing the batch alone.
+    """
+    if method == "ptf":
+        cur = collect_minmax(x, "activation", layer_wise=False)
+        return cur if prev is None else merge_minmax(prev, cur)
+    if method == "percentile":
+        cur = collect_percentile(x, "activation")
+        return cur if prev is None else merge_percentile(prev, cur)
+    cur = collect_minmax(x, "activation", layer_wise=True)
+    if prev is None:
+        return cur
+    if method == "ema":
+        return merge_ema(prev, cur)
+    return merge_minmax(prev, cur)  # minmax, omse
 
 
 def solve_act(

@@ -65,7 +65,13 @@ def build_parser():
         "--mode", default=0, type=int,
         help="calibration data: 0 real, 1 gaussian noise, 2 data-free generated",
     )
-    p.add_argument("--calib-iter", default=10, type=int)
+    p.add_argument(
+        "--calib-iter", default=1, type=int,
+        help="calibration batches: stats accumulate over N-1 batches, params "
+             "solve on the last (the reference accepts 10 here but always "
+             "calibrates on one batch, test_quant.py:285-307; default 1 "
+             "keeps that single-batch behavior)",
+    )
     p.add_argument("--val-batchsize", default=200, type=int)
     p.add_argument("--num-workers", default=16, type=int, help="accepted for CLI parity")
     p.add_argument("--device", default="tpu", type=str, help="informational; jax picks")
@@ -139,6 +145,7 @@ def main():
             calib = checkpoints.load_quant_state(args.load_quant_state)
             print(f"Loaded quantization state from {args.load_quant_state}")
         else:
+            stats = None  # noise/data-free calibrate on their one synthetic batch
             if args.mode == 1:
                 print("Calibrating with Gaussian noise...")
                 cal = np.asarray(
@@ -163,10 +170,19 @@ def main():
                     train, args.calib_batchsize, shuffle=True, seed=args.seed,
                     drop_last=True,
                 )
-                # the reference collects calib-iter batches but calibrates on
-                # the first only (test_quant.py:285-307)
-                cal, _ = next(it)
-            calib = family.calibrate(params, cfg, policy, jnp.asarray(cal))
+                batches = []
+                for imgs, _ in it:
+                    batches.append(imgs)
+                    if len(batches) >= args.calib_iter:
+                        break
+                if len(batches) > 1:
+                    for bi, imgs in enumerate(batches[:-1]):
+                        stats = family.collect_stats(
+                            params, cfg, policy, jnp.asarray(imgs), stats
+                        )
+                        print(f"  stats batch {bi + 1}/{len(batches)}")
+                cal = batches[-1]
+            calib = family.calibrate(params, cfg, policy, jnp.asarray(cal), stats=stats)
             if args.save_quant_state:
                 checkpoints.save_quant_state(args.save_quant_state, calib)
                 print(f"Saved quantization state to {args.save_quant_state}")

@@ -1,0 +1,130 @@
+"""Multi-device (8 virtual CPU devices, conftest) numeric parity: DP/TP
+sharded execution must reproduce single-device results.
+
+Covers the SURVEY §5 'distributed communication backend' design — batch
+sharded over "data", megatron-style TP over "model", calibration min/max
+reduced across the mesh — with actual numeric cross-checks (previously only
+__graft_entry__.dryrun_multichip shape-asserted this path)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from p2vit_tpu import serving
+from p2vit_tpu.config import make_policy
+from p2vit_tpu.models import vit
+from p2vit_tpu.models.common import ViTConfig
+from p2vit_tpu.parallel import mesh as pmesh
+from p2vit_tpu.quant.observers import collect_minmax
+
+TINY = ViTConfig(
+    img_size=32, patch_size=8, num_classes=10, embed_dim=16, depth=2, num_heads=2
+)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs the 8-virtual-device CPU mesh"
+)
+
+
+@pytest.fixture(scope="module")
+def calibrated():
+    policy = make_policy(True, True, "minmax")
+    params = vit.init_params(jax.random.PRNGKey(0), TINY)
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 3, 32, 32))
+    calib = vit.calibrate(params, TINY, policy, x)
+    return policy, params, x, calib
+
+
+def test_sharded_minmax_stats_equal_global(calibrated):
+    """Cross-device min/max of a "data"-sharded batch == the global
+    single-device observer stats, exactly (min/max is associative)."""
+    _, _, x, _ = calibrated
+    m = pmesh.make_mesh(8, model_parallel=1)
+    with m:
+        sharded = pmesh.sharded_minmax_stats(m, x)
+    ref = collect_minmax(x, "activation", layer_wise=False)
+    np.testing.assert_array_equal(np.asarray(sharded.min_val), np.asarray(ref.min_val))
+    np.testing.assert_array_equal(np.asarray(sharded.max_val), np.asarray(ref.max_val))
+
+
+def test_dp_quant_forward_matches_single_device(calibrated):
+    """Pure data parallelism: per-example math is untouched by the batch
+    sharding, so the sharded quantized forward is bitwise identical."""
+    policy, params, x, calib = calibrated
+    bit_idx = vit.bits_to_idx([8] * TINY.num_matmuls)
+    single = np.asarray(
+        vit.quant_forward(params, calib.qstate, TINY, policy, x, bit_idx)
+    )
+
+    m = pmesh.make_mesh(8, model_parallel=1)
+    with m:
+        run = pmesh.data_parallel_eval(
+            lambda p, xx, bi: vit.quant_forward(p, calib.qstate, TINY, policy, xx, bi),
+            m, params,
+        )
+        out = np.asarray(run(x, bit_idx))
+    np.testing.assert_array_equal(out, single)
+
+
+def test_dp_tp_quant_forward_matches_single_device(calibrated):
+    """DP×TP (4×2 mesh, megatron qkv/fc1 column- and proj/fc2 row-parallel):
+    row-parallel partial sums change the f32 reduction order, so agreement
+    is within one LSB of the output quantizer's grid, argmax-equal."""
+    policy, params, x, calib = calibrated
+    bit_idx = vit.bits_to_idx([8] * TINY.num_matmuls)
+    single = np.asarray(
+        vit.quant_forward(params, calib.qstate, TINY, policy, x, bit_idx)
+    )
+
+    m = pmesh.make_mesh(8, model_parallel=2)
+    with m:
+        run = pmesh.data_parallel_eval(
+            lambda p, xx, bi: vit.quant_forward(p, calib.qstate, TINY, policy, xx, bi),
+            m, params,
+        )
+        out = np.asarray(run(x, bit_idx))
+    lsb = float(np.asarray(calib.qstate["act_out"]["scale"]))
+    assert np.abs(out - single).max() <= lsb * 1.0001
+    assert (out.argmax(1) == single.argmax(1)).all()
+
+
+def test_dp_serving_matches_single_device(calibrated):
+    """The int8 serving pipeline under the mesh (state replicated, batch
+    DP-sharded): integer code arithmetic is per-example — bitwise equal."""
+    policy, params, x, calib = calibrated
+    sstate = serving.convert(
+        params, calib.qstate, TINY, policy, [8] * TINY.num_matmuls
+    )
+    single = np.asarray(serving.serving_forward(sstate, TINY, x, use_pallas=False))
+
+    m = pmesh.make_mesh(8, model_parallel=1)
+    with m:
+        rstate = pmesh.replicate(sstate, m)
+        out = np.asarray(
+            jax.jit(
+                lambda xx: serving.serving_forward(rstate, TINY, xx, use_pallas=False)
+            )(pmesh.shard_batch(m, x))
+        )
+    np.testing.assert_array_equal(out, single)
+
+
+def test_sharded_calibration_matches_single_device(calibrated):
+    """Calibrating on a "data"-sharded batch: GSPMD turns every observer
+    reduction into mesh collectives; the solved PoT/PTF scales must equal
+    the single-device decisions (min/max and the candidate losses reduce
+    over the same values)."""
+    policy, params, x, calib = calibrated
+    m = pmesh.make_mesh(8, model_parallel=1)
+    with m:
+        xs = pmesh.shard_batch(m, x)
+        rp = pmesh.replicate(params, m)
+        calib_sharded = vit.calibrate(rp, TINY, policy, xs)
+
+    flat_a = jax.tree_util.tree_flatten_with_path(calib.qstate)[0]
+    flat_b = jax.tree_util.tree_flatten_with_path(calib_sharded.qstate)[0]
+    for (path, a), (_, b) in zip(flat_a, flat_b):
+        name = jax.tree_util.keystr(path)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=0, err_msg=name
+        )

@@ -20,12 +20,12 @@ import jax
 import jax.numpy as jnp
 
 
-def _time_fn(step, x, iters=10):
+def _time_fn(step, x, iters=10, repeats=2):
     """On-device loop timing (see p2vit_tpu.profiling.device_time for why:
     host-side timing through the axon tunnel measures RTT, not compute)."""
     from p2vit_tpu.profiling import device_time
 
-    return device_time(step, x, iters=iters, repeats=2)
+    return device_time(step, x, iters=iters, repeats=repeats)
 
 
 def _ensure_live_backend():
@@ -118,7 +118,9 @@ def main():
                 [jnp.asarray(l, jnp.float32).sum() for l in leaves]
             ).sum()[None]
 
-        calib_s = round(_time_fn(jax.jit(calib_step), xc, iters=1), 3)
+        # best-of-4 single-shot runs: one sample is meaningless under the
+        # chip's ±30% multi-tenant noise (BENCH.md methodology)
+        calib_s = round(_time_fn(jax.jit(calib_step), xc, iters=1, repeats=4), 3)
     except Exception as e:  # pragma: no cover - hardware dependent
         calib_s = f"unavailable: {type(e).__name__}"
 
@@ -148,6 +150,7 @@ def main():
 
     ips = batch / t_srv
     ips_fp = batch / t_fp
+    ips_lis_off = batch / t_srv_fp
     print(
         json.dumps(
             {
@@ -156,8 +159,14 @@ def main():
                 "unit": "img/s",
                 "vs_baseline": round(ips / ips_fp, 4),
                 "baseline_bf16_img_s": round(ips_fp, 2),
+                # first-class LIS pair for round-over-round perf tracking:
+                # lis_on = the reference default (Config(lis=True)),
+                # lis_off = the reference's fp-softmax variant
+                "lis_on_img_s": round(ips, 2),
+                "lis_on_vs_baseline": round(ips / ips_fp, 4),
+                "lis_off_img_s": round(ips_lis_off, 2),
+                "lis_off_vs_baseline": round(ips_lis_off / ips_fp, 4),
                 "sim_img_s": round(batch / t_sim, 2),
-                "lis_off_img_s": round(batch / t_srv_fp, 2),
                 "swin_tiny_img_s": swin_ips,
                 "calib_s_100img": calib_s,
                 "batch": batch,

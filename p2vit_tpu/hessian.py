@@ -49,9 +49,54 @@ def _with_weights(params, ws):
     return new
 
 
+def tracked_weights_swin(params) -> list:
+    """Swin (path, array) list in bit-config slot order 1..n-1: per stage
+    (per block qkv, proj, fc1, fc2), downsample reduction, then head —
+    aligned with swin.mixed_layout / swin_flops[1:]. The reference's
+    get_params_grad filter never met a working Swin (SURVEY §2 ⚠); this
+    extends its 'matmul weights only' rule to Swin's geometry."""
+    out = []
+    for si, stage in enumerate(params["stages"]):
+        for bi, blk in enumerate(stage["blocks"]):
+            for name in ("qkv", "proj", "fc1", "fc2"):
+                out.append(((si, bi, name), blk[name]["w"]))
+        if "downsample" in stage:
+            out.append(((si, "downsample"), stage["downsample"]["reduction"]["w"]))
+    out.append((("head",), params["head"]["w"]))
+    return out
+
+
+def _with_weights_swin(params, ws):
+    new = jax.tree.map(lambda a: a, params)
+    k = 0
+    for si, stage in enumerate(params["stages"]):
+        for bi in range(len(stage["blocks"])):
+            for name in ("qkv", "proj", "fc1", "fc2"):
+                new["stages"][si]["blocks"][bi][name] = dict(
+                    new["stages"][si]["blocks"][bi][name], w=ws[k]
+                )
+                k += 1
+        if "downsample" in stage:
+            new["stages"][si]["downsample"]["reduction"] = dict(
+                new["stages"][si]["downsample"]["reduction"], w=ws[k]
+            )
+            k += 1
+    new["head"] = dict(new["head"], w=ws[k])
+    return new
+
+
+def _family(cfg):
+    """(fp_forward, tracked, rebuild) for the model family of ``cfg``."""
+    if isinstance(cfg, ViTConfig):
+        return vit.fp_forward, tracked_weights, _with_weights
+    from .models import swin
+
+    return swin.fp_forward, tracked_weights_swin, _with_weights_swin
+
+
 def hessian_traces(
     params,
-    cfg: ViTConfig,
+    cfg,
     x,
     labels,
     key,
@@ -63,11 +108,14 @@ def hessian_traces(
     test_quant.py:148; smoothquant disabled during Hessian statistics,
     vit_fquant.py:232 hessian_statistic=True — the fp path here is exactly
     that graph). Returns [n_weights] traces (mean over probes of v^T H v).
+    ``cfg`` may be a ViTConfig or a SwinConfig; tracked weights follow the
+    family's bit-config slot order.
     """
-    ws = [w for _, w in tracked_weights(params)]
+    forward, tracked, rebuild = _family(cfg)
+    ws = [w for _, w in tracked(params)]
 
     def loss_fn(ws_):
-        logits = vit.fp_forward(_with_weights(params, ws_), cfg, x)
+        logits = forward(rebuild(params, ws_), cfg, x)
         logp = jax.nn.log_softmax(logits)
         return -jnp.take_along_axis(logp, labels[:, None], axis=1).mean()
 
@@ -92,11 +140,12 @@ def _flat_hvp(params, cfg, x, labels):
     eigenvalue/density methods operate on (pyhessian/hessian.py:115-289)."""
     from jax.flatten_util import ravel_pytree
 
-    ws = [w for _, w in tracked_weights(params)]
+    forward, tracked, rebuild = _family(cfg)
+    ws = [w for _, w in tracked(params)]
     z0, unravel = ravel_pytree(ws)
 
     def loss_flat(z):
-        logits = vit.fp_forward(_with_weights(params, unravel(z)), cfg, x)
+        logits = forward(rebuild(params, unravel(z)), cfg, x)
         logp = jax.nn.log_softmax(logits)
         return -jnp.take_along_axis(logp, labels[:, None], axis=1).mean()
 

@@ -36,15 +36,13 @@ import jax.numpy as jnp
 
 from ..config import QuantPolicy
 from ..quant.bit_type import BIT_TYPE_DICT
-from ..quant.fake_quant import fake_quant
+from ..quant.fake_quant import fake_quant, fake_quant_dyn
 from ..quant.intops import int_layernorm, log_int_softmax
 from ..quant.solve import accumulate_act_stats, solve_act, solve_weight_all_bits
 from .common import gelu, layer_norm, linear, trunc_normal
-from .vit import _sget
+from .vit import EVAL_QMAX, EVAL_QMIN, _sget, bits_to_idx
 
 INT8 = BIT_TYPE_DICT["int8"]
-_WBIT_ROW = {4: 2, 8: 3}  # uniform weight bit -> wscale dic row (int4/int8)
-_WBIT_BOUNDS = {4: (-8, 7), 8: (-128, 127)}
 
 
 @dataclasses.dataclass(frozen=True)
@@ -84,6 +82,48 @@ class SwinConfig:
 
     def stage_res(self, i):
         return self.grid // (2**i)
+
+
+def swin_flops(cfg: SwinConfig) -> list:
+    """Analytic per-matmul cost vector, one entry per bit_config slot, in
+    the calibration-walk order: [patch] + per stage (per block [qkv, proj,
+    fc1, fc2], then [downsample reduction]) + [head]. Multiply counts, same
+    convention as models/common.vit_flops — the model-size proxy of the
+    mixed-precision constraint the reference never wired into Swin
+    (SURVEY §2 ⚠)."""
+    flops = [cfg.in_chans * cfg.patch_size**2 * cfg.embed_dim * cfg.grid**2]
+    for i, depth in enumerate(cfg.depths):
+        c = cfg.stage_dim(i)
+        h = int(c * cfg.mlp_ratio)
+        n = cfg.stage_res(i) ** 2
+        for _ in range(depth):
+            flops += [n * c * 3 * c, n * c * c, n * c * h, n * h * c]
+        if i < cfg.num_layers - 1:
+            flops.append((n // 4) * 4 * c * 2 * c)
+    flops.append(cfg.num_features * cfg.num_classes)
+    return flops
+
+
+def mixed_layout(cfg: SwinConfig):
+    """(groups, pinned) bit-config layout for the mixed-precision sampler.
+
+    Follows the reference's ViT pairing convention (qkv/proj share a gene,
+    fc1/fc2 share a gene, patch pinned to max bit, head free —
+    /root/reference/test_quant.py:329-334) extended to Swin's geometry:
+    each downsample reduction is its own free gene.
+    """
+    groups, pinned = [], {0: max}
+    slot = 1
+    for i, depth in enumerate(cfg.depths):
+        for _ in range(depth):
+            groups.append([slot, slot + 1])      # qkv/proj
+            groups.append([slot + 2, slot + 3])  # fc1/fc2
+            slot += 4
+        if i < cfg.num_layers - 1:
+            groups.append([slot])                # downsample reduction
+            slot += 1
+    groups.append([slot])                        # head
+    return groups, {0: None}  # slot 0 pinned to max(bit_choice) by the sampler
 
 
 # ---------------------------------------------------------------------------
@@ -301,7 +341,8 @@ def _qact(method, x, bit_type=INT8, prev=None):
 def calibrate(params, cfg: SwinConfig, policy: QuantPolicy, x,
               stats=None) -> SwinCalibResult:
     qs, dists = _calibrate_jit(params, cfg, policy, x, stats)
-    return SwinCalibResult(qstate=qs, global_distance=dists)
+    return SwinCalibResult(qstate=qs, global_distance=dists,
+                           flops=swin_flops(cfg))
 
 
 def collect_stats(params, cfg: SwinConfig, policy: QuantPolicy, x, prev=None):
@@ -529,16 +570,37 @@ def _intln(x, lnp, policy, in_q, out_scale, eps, expand=1):
     return layer_norm(x, lnp["w"], lnp["b"], eps)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 5))
 def quant_forward(params, qstate, cfg: SwinConfig, policy: QuantPolicy, x,
                   w_bit: int = 8):
-    """Fully-quantized Swin forward with a uniform weight bit width."""
-    row = _WBIT_ROW[w_bit]
-    wb = BIT_TYPE_DICT["int4" if w_bit == 4 else "int8"]
+    """Fully-quantized Swin forward with a uniform weight bit width
+    (FQ-ViT-style, the reference's intent — swin_quant.py has no
+    bit_config). Thin wrapper over the per-layer ``quant_forward_mixed``."""
+    return quant_forward_mixed(
+        params, qstate, cfg, policy, x, bits_to_idx([w_bit] * cfg.num_matmuls)
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def quant_forward_mixed(params, qstate, cfg: SwinConfig, policy: QuantPolicy,
+                        x, bit_idx):
+    """Fully-quantized Swin forward with per-layer weight bits.
+
+    ``bit_idx`` is the traced int32 [num_matmuls] vector from
+    ``vit.bits_to_idx`` in the calibration-walk slot order ([patch] + per
+    stage (per block [qkv, proj, fc1, fc2]) + [downsample] + [head]) — the
+    mixed-precision capability the reference never wired into Swin
+    (SURVEY §2 ⚠; its swin_quant.py crashes before any bit_config could
+    apply). One compiled executable serves every candidate config, like
+    models/vit.py quant_forward.
+    """
     eps = cfg.ln_eps
+    slot = iter(range(cfg.num_matmuls))
 
     def fqw(w, wscale):
-        return fake_quant(w, wscale[row][:, None], 0.0, wb)
+        bit = bit_idx[next(slot)]
+        return fake_quant_dyn(
+            w, wscale[2 + bit][:, None], 0.0, EVAL_QMIN[bit], EVAL_QMAX[bit]
+        )
 
     patches = _patches(x, cfg.patch_size)
     x = linear(patches, fqw(params["patch_embed"]["w"], qstate["patch_wscale"]),

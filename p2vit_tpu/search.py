@@ -22,6 +22,13 @@ import numpy as np
 BIT_CHOICE = (4, 8)
 
 
+def vit_layout(n: int) -> list:
+    """Gene groups for the reference's ViT layout: slot 0 (patch) is pinned
+    by the sampler; [qkv,proj] and [fc1,fc2] pairs share one gene; the head
+    is its own gene (test_quant.py:329-334)."""
+    return [[1 + 2 * i, 2 + 2 * i] for i in range((n - 2) // 2)] + [[n - 1]]
+
+
 def sample_bit_configs(
     flops: Sequence[int],
     rng: random.Random,
@@ -29,9 +36,12 @@ def sample_bit_configs(
     max_configs: int = 51,
     constraint_ratio: float = 1.1,
     max_attempts: int = 50_000,
+    layout: list | None = None,
 ) -> list:
-    """Random paired configs under the model-size constraint
-    (test_quant.py:322-341).
+    """Random grouped configs under the model-size constraint
+    (test_quant.py:322-341): slot 0 pinned to max(bit_choice), each gene
+    group drawn once per candidate (ViT pairing by default; pass
+    ``swin.mixed_layout(cfg)[0]`` for Swin's geometry).
 
     Deliberate fix vs. the reference: its draw loop runs up to 2^(n-1)
     iterations (2^49 for depth-12 ViT) with no attempt bound, which can
@@ -40,13 +50,15 @@ def sample_bit_configs(
     simply capped at ``max_attempts`` draws.
     """
     n = len(flops)
+    groups = vit_layout(n) if layout is None else layout
     constraint = constraint_ratio * sum(f * 4 for f in flops)
     out = []
     for _ in range(min(2 ** (n - 1), max_attempts)):
-        body = [rng.choice(bit_choice) for _ in range(n // 2 - 1)]
-        cand = [max(bit_choice)] + [b for b in body for _ in range(2)] + [
-            rng.choice(bit_choice)
-        ]
+        cand = [max(bit_choice)] * n
+        for g in groups:
+            b = rng.choice(bit_choice)
+            for s in g:
+                cand[s] = b
         size = sum(f * b for f, b in zip(flops, cand))
         if size <= constraint and cand not in out:
             out.append(cand)
@@ -60,6 +72,7 @@ def omega(
     global_distance,
     mean_hessian: Sequence[float],
     bit_choice=BIT_CHOICE,
+    distances_include_patch: bool = False,
 ) -> float:
     """Ω(config) = Σ_i mean_hessian[i] · distance[i][k(bit_i)].
 
@@ -68,6 +81,10 @@ def omega(
     entries — NOT at int4/int8 (/root/reference/test_quant.py:350-352; the
     distance rows are [uint3, uint4, int4, int8] per
     ptq/layers.py:178-201). The patch-embed slot (i=0) is skipped (:348).
+
+    ``distances_include_patch``: ViT's global_distance has no patch row
+    (QConv2d appends none, SURVEY §2.2); Swin's calibration records one per
+    weight layer including patch — its row for slot i is i, not i-1.
     """
     gd = np.asarray(global_distance)
     total = 0.0
@@ -75,7 +92,8 @@ def omega(
         if i == 0:
             continue
         k = bit_choice.index(bit)
-        total += mean_hessian[i - 1] * float(gd[i - 1][k])
+        row = i if distances_include_patch else i - 1
+        total += mean_hessian[i - 1] * float(gd[row][k])
     return total
 
 
@@ -86,12 +104,18 @@ def pareto_front(
     rng: random.Random,
     bit_choice=BIT_CHOICE,
     constraint_ratio: float = 1.1,
+    layout: list | None = None,
+    distances_include_patch: bool = False,
 ) -> list:
     """Sampled configs sorted by ascending Ω (test_quant.py:343-372)."""
     configs = sample_bit_configs(
-        flops, rng, bit_choice, constraint_ratio=constraint_ratio
+        flops, rng, bit_choice, constraint_ratio=constraint_ratio, layout=layout
     )
-    scored = [(c, omega(c, global_distance, mean_hessian, bit_choice)) for c in configs]
+    scored = [
+        (c, omega(c, global_distance, mean_hessian, bit_choice,
+                  distances_include_patch))
+        for c in configs
+    ]
     scored.sort(key=lambda t: t[1])
     return scored
 

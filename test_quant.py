@@ -206,11 +206,13 @@ def main():
                 use_pallas=on_accel,
             )
     elif args.quant and is_swin:
-        # Swin is FQ-ViT-style: uniform weight bit (the reference never wired
-        # bit_config/mixed-precision into Swin — SURVEY §2 ⚠)
+        # per-layer bit simulation (quant_forward_mixed serves uniform and
+        # mixed configs with one executable — beyond the reference, whose
+        # Swin never wired bit_config at all, SURVEY §2 ⚠)
         def model_fn(x, bit_config):
-            w_bit = int(bit_config[0]) if bit_config else 8
-            return swin.quant_forward(params, calib.qstate, cfg, policy, x, w_bit)
+            return swin.quant_forward_mixed(
+                params, calib.qstate, cfg, policy, x, vit.bits_to_idx(bit_config)
+            )
     elif args.quant and args.serve:
         from p2vit_tpu import serving
 
@@ -276,11 +278,9 @@ def main():
 
     if args.mixed:
         assert args.quant, "--mixed requires --quant"
-        if is_swin:
-            raise SystemExit(
-                "--mixed is ViT/DeiT-only (the reference never wired "
-                "mixed-precision into Swin; see SURVEY §2)"
-            )
+        if is_swin and args.serve:
+            raise SystemExit("--mixed --serve for Swin: the int8 Swin serving "
+                             "pipeline is uniform-bit; drop --serve")
         n = cfg.num_matmuls
         if args.live_hessian:
             from p2vit_tpu.hessian import hessian_traces, normalized_mean_hessian
@@ -309,12 +309,20 @@ def main():
                     f"no hardcoded Hessian table for {args.model}; use --live-hessian"
                 )
             mean_hessian = MEAN_HESSIAN[args.model]
-        assert len(calib.flops) - 1 == len(calib.global_distance) == len(mean_hessian)
+        # ViT distances omit the patch row (QConv2d appends none); Swin's
+        # calibration records one per weight layer including patch
+        dist_inc_patch = is_swin
+        layout = swin.mixed_layout(cfg)[0] if is_swin else None
+        expected_rows = n if dist_inc_patch else n - 1
+        assert len(calib.flops) == n
+        assert len(calib.global_distance) == expected_rows
+        assert len(mean_hessian) == n - 1
 
         print("Pareto Frontier.......")
         rng = random.Random(args.seed)
         front = search.pareto_front(
-            calib.flops, calib.global_distance, mean_hessian, rng
+            calib.flops, calib.global_distance, mean_hessian, rng,
+            layout=layout, distances_include_patch=dist_inc_patch,
         )
         print("Hessian-Based Validating...")
         for cfg_bits, om in front[:5]:

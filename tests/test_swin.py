@@ -119,3 +119,87 @@ def test_calibrate_and_quant_forward(setup):
     q8 = swin.quant_forward(params, calib.qstate, TINY, policy, x, 8)
     rel = jnp.linalg.norm(q8 - fp) / jnp.linalg.norm(fp)
     assert rel < 0.6, f"W8A8 too far from fp: {rel}"
+
+
+# ---------------------------------------------------------------------------
+# Mixed precision (beyond the reference, whose Swin has no bit_config at all)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def calibrated(setup):
+    params, x = setup
+    policy = make_policy()
+    return params, x, policy, swin.calibrate(params, TINY, policy, x)
+
+
+def test_swin_flops_and_layout_consistency():
+    flops = swin.swin_flops(TINY)
+    assert len(flops) == TINY.num_matmuls
+    groups, _ = swin.mixed_layout(TINY)
+    covered = sorted(s for g in groups for s in g)
+    # every slot except the pinned patch (0) appears exactly once
+    assert covered == list(range(1, TINY.num_matmuls))
+
+
+def test_quant_forward_mixed_uniform_matches_wbit(calibrated):
+    from p2vit_tpu.models.vit import bits_to_idx
+
+    params, x, policy, calib = calibrated
+    n = TINY.num_matmuls
+    for bit in (8, 4):
+        uni = swin.quant_forward(params, calib.qstate, TINY, policy, x, bit)
+        mix = swin.quant_forward_mixed(
+            params, calib.qstate, TINY, policy, x, bits_to_idx([bit] * n)
+        )
+        np.testing.assert_array_equal(np.asarray(uni), np.asarray(mix))
+    # a genuinely mixed config runs on the SAME executable (traced bits)
+    mixed_cfg = [8] + [4, 4, 8, 8] * sum(TINY.depths) + [8] * (TINY.num_layers - 1 + 1)
+    mixed_cfg = mixed_cfg[:n]
+    out = swin.quant_forward_mixed(
+        params, calib.qstate, TINY, policy, x, bits_to_idx(mixed_cfg)
+    )
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_swin_mixed_precision_search(calibrated):
+    import random
+
+    from p2vit_tpu import search
+
+    params, x, policy, calib = calibrated
+    n = TINY.num_matmuls
+    groups, _ = swin.mixed_layout(TINY)
+    rng = random.Random(0)
+    mh = list(np.random.RandomState(0).rand(n - 1))
+
+    front = search.pareto_front(
+        calib.flops, calib.global_distance, mh, rng,
+        constraint_ratio=2.5, layout=groups, distances_include_patch=True,
+    )
+    assert front and front[0][1] <= front[-1][1]
+    for cfg_bits, _ in front:
+        assert len(cfg_bits) == n
+        assert cfg_bits[0] == 8  # patch pinned to max bit
+        for g in groups:  # paired genes share a bit
+            assert len({cfg_bits[s] for s in g}) == 1
+
+    # evolutionary search over the swin configs with a surrogate evaluator
+    pop = search.evolutionary_search(
+        lambda bits: -sum(bits), [c for c, _ in front], calib.flops,
+        random.Random(0), pop_size=4, evo_iter=2, mutate_size=3,
+        crossover_size=3, constraint_ratio=2.5,
+    )
+    assert len(pop) <= 4 and pop[0][1] >= pop[-1][1]
+
+
+def test_swin_hessian_traces(setup):
+    from p2vit_tpu.hessian import hessian_traces, normalized_mean_hessian
+
+    params, x = setup
+    labels = jnp.asarray([0, 1])
+    tr = hessian_traces(params, TINY, x, labels, jax.random.PRNGKey(0), n_probes=2)
+    assert tr.shape == (TINY.num_matmuls - 1,)
+    assert jnp.isfinite(tr).all()
+    mh = normalized_mean_hessian([tr])
+    assert len(mh) == TINY.num_matmuls - 1

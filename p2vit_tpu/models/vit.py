@@ -596,10 +596,15 @@ def _intln_or_ln(x, ln_params, policy, in_q, out_scale, eps):
     return layer_norm(x, ln_params["w"], ln_params["b"], eps)
 
 
-def quant_forward(params, qstate, cfg: ViTConfig, policy: QuantPolicy, x, bit_idx):
+def quant_forward(params, qstate, cfg: ViTConfig, policy: QuantPolicy, x, bit_idx,
+                  block_tap=None):
     """Fully-quantized forward. ``bit_idx`` is the int32 [num_matmuls] index
     vector from ``bits_to_idx`` — traced, so the compiled executable serves
     every mixed-precision config (SURVEY §7 design translation).
+
+    ``block_tap``: optional list; each block's residual-stream output (the
+    qact4 node, matching the reference Block.forward return) is appended —
+    the debugging/analysis tap used by divergence localization.
     """
     eps = cfg.ln_eps
     b = x.shape[0]
@@ -679,6 +684,8 @@ def quant_forward(params, qstate, cfg: ViTConfig, policy: QuantPolicy, x, bit_id
         x = x + h
         x = _fq(x, bq["qact4"])
         last_q = bq["qact4"]
+        if block_tap is not None:
+            block_tap.append(x)
 
     x = _intln_or_ln(
         x, params["norm"], policy, last_q, qstate["qact2"]["scale"], eps

@@ -261,6 +261,123 @@ def lis_attention_fused(
     return out[:, :n, :]
 
 
+def _qkv_fused_kernel(
+    s_ref, h_ref, w_ref, r_ref, b_ref, o_ref, *, n_valid, lis_bits, qmin,
+    qmax, c, d, num_heads, lis,
+):
+    """qkv matmul + requant + attention in ONE kernel: the (N, 3C) qkv codes
+    never round-trip to HBM (VERDICT r1 item 1 'fuse the qkv matmul into the
+    attention kernel'). Math is bit-identical to int8_matmul_requant
+    followed by _fused_kernel: same round/clip epilogue on the int32
+    accumulator, same per-head attention."""
+    rq, s_attn, ro = s_ref[0, 0], s_ref[0, 1], s_ref[0, 2]
+    acc = jax.lax.dot_general(
+        h_ref[0], w_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # (N, 3C)
+    qkv = jnp.clip(
+        jnp.round(acc.astype(jnp.float32) * r_ref[:] + b_ref[:]), qmin, qmax
+    )
+    outs = []
+    for h in range(num_heads):
+        qm = qkv[:, h * d : (h + 1) * d]
+        km = qkv[:, c + h * d : c + (h + 1) * d]
+        vm = qkv[:, 2 * c + h * d : 2 * c + (h + 1) * d]
+        acc2 = jax.lax.dot_general(
+            qm, km, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        attn_c = jnp.clip(jnp.round(acc2 * rq), qmin, qmax)
+        col = jax.lax.broadcasted_iota(jnp.int32, attn_c.shape, 1)
+        attn_c = jnp.where(col < n_valid, attn_c, jnp.float32(qmin))
+        if lis:
+            attn_pot = _lis_from_scores(attn_c, s_attn, col, n_valid, lis_bits)
+        else:
+            attn_pot = _fp_softmax_from_scores(attn_c, s_attn, col, n_valid)
+        av = jax.lax.dot_general(
+            attn_pot, vm, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        outs.append(jnp.clip(jnp.round(av * ro), qmin, qmax).astype(jnp.int8))
+    o_ref[0] = jnp.concatenate(outs, axis=-1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "lis_bits", "lis", "interpret")
+)
+def lis_attention_qkv_fused(
+    h_q: jnp.ndarray,
+    w_q: jnp.ndarray,
+    requant_vec: jnp.ndarray,
+    bias_vec: jnp.ndarray,
+    num_heads: int,
+    score_requant,
+    attn_scale,
+    out_requant,
+    lis_bits: int = 4,
+    lis: bool = True,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """qkv projection + fused attention over qact0 codes.
+
+    Saves one full HBM round trip of the (B, N, 3C) qkv codes vs the
+    two-step int8_matmul_requant → lis_attention_fused pipeline (staged for
+    on-chip A/B; bit-identical by construction, asserted in tests).
+
+    Args:
+      h_q: (B, N, C) int8 codes of the attention input (qact0 node).
+      w_q: (3C, C) int8 qkv weight codes.
+      requant_vec: (3C,) f32 = s_act·s_w[n]/s_qact1.
+      bias_vec: (3C,) f32 = bias/s_qact1.
+      score_requant/attn_scale/out_requant: as in lis_attention_fused but
+        score_requant is built from s_qact1 like there.
+    Returns (B, N, C) int8 codes of the qact2 node.
+    """
+    b, n, c = h_q.shape
+    d = c // num_heads
+    assert w_q.shape == (3 * c, c)
+    assert d % 128 == 0 or 128 % d == 0, f"head_dim {d} vs lane width"
+    npad = (-n) % 32
+    h_p = jnp.pad(h_q, ((0, 0), (0, npad), (0, 0))) if npad else h_q
+    nfull = n + npad
+    # zero-pad the contraction dim to the lane tile (exact: 0·w adds 0)
+    kpad = (-c) % 128
+    if kpad:
+        h_p = jnp.pad(h_p, ((0, 0), (0, 0), (0, kpad)))
+        w_q = jnp.pad(w_q, ((0, 0), (0, kpad)))
+    kfull = c + kpad
+    scalars = jnp.stack(
+        [
+            jnp.asarray(score_requant, jnp.float32),
+            jnp.asarray(attn_scale, jnp.float32),
+            jnp.asarray(out_requant, jnp.float32),
+        ]
+    ).reshape(1, 3)
+    r2 = requant_vec.astype(jnp.float32).reshape(1, -1)
+    b2 = bias_vec.astype(jnp.float32).reshape(1, -1)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _qkv_fused_kernel, n_valid=n, lis_bits=lis_bits, qmin=-128.0,
+            qmax=127.0, c=c, d=d, num_heads=num_heads, lis=lis,
+        ),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, nfull, kfull), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * c, kfull), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, nfull, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, nfull, c), jnp.int8),
+        interpret=interpret,
+    )(scalars, h_p, w_q, r2, b2)
+    return out[:, :n, :]
+
+
 def _swin_kernel(
     s_ref, qkv_ref, bias_ref, mask_ref, o_ref, *, n_valid, lis_bits, qmin,
     qmax, c, d, num_heads, lis, has_mask,

@@ -35,6 +35,7 @@ from .models.common import ViTConfig, extract_patches
 from .ops.attention_lis import (
     lis_attention,
     lis_attention_fused,
+    lis_attention_qkv_fused,
     lis_attention_ref,
 )
 from .ops.matmul_int8 import (
@@ -200,15 +201,19 @@ def _requant_add(c_a, s_a, c_b, s_b, s_out):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "interpret", "use_pallas", "lis")
+    jax.jit, static_argnames=("cfg", "interpret", "use_pallas", "lis", "fuse_qkv")
 )
 def serving_forward(s, cfg: ViTConfig, x, interpret: bool = False,
-                    use_pallas: bool = True, lis: bool = True):
+                    use_pallas: bool = True, lis: bool = True,
+                    fuse_qkv: bool = False):
     """Run the int8 pipeline on a f32 image batch; returns f32 logits.
 
     ``lis``: Log-Int-Softmax on (the reference default) or the LIS-off fp
     softmax over dequantized attention codes (Config(lis=False),
     /root/reference/config.py:32-43; layers.py:439).
+    ``fuse_qkv``: compute the qkv projection INSIDE the attention kernel
+    (bit-identical; saves the HBM round trip of the (B,N,3C) qkv codes).
+    Default off pending the on-chip A/B (tools/ab_tpu.py).
     """
     mm = int8_matmul_requant if use_pallas else int8_matmul_requant_ref
     mm_res_ln = int8_matmul_res_ln if use_pallas else int8_matmul_res_ln_ref
@@ -248,16 +253,30 @@ def serving_forward(s, cfg: ViTConfig, x, interpret: bool = False,
     n_blocks = len(s["blocks"])
     for bi, sb in enumerate(s["blocks"]):
         qkv = sb["qkv"]
-        h2 = mm(
-            h.reshape(-1, c),
-            qkv["w_q"],
-            qkv["s_act"] * qkv["sw"] / sb["s_qact1"],
-            qkv["bias"] / sb["s_qact1"],
-            **mm_kw,
-        ).reshape(b, n_tok, 3 * c)
-        # fused attention over the (B, N, 3C) codes: head slicing happens
-        # inside the kernel, so no split/merge transposes hit HBM
-        if use_pallas:
+        if use_pallas and fuse_qkv:
+            # qkv projection inside the attention kernel: the (B,N,3C)
+            # codes never visit HBM
+            h = lis_attention_qkv_fused(
+                h, qkv["w_q"],
+                qkv["s_act"] * qkv["sw"] / sb["s_qact1"],
+                qkv["bias"] / sb["s_qact1"],
+                cfg.num_heads,
+                sb["s_qact1"] ** 2 * cfg.attn_scale / sb["s_attn1"],
+                sb["s_attn1"],
+                sb["s_qact1"] / sb["s_qact2a"],
+                lis=lis,
+                interpret=interpret,
+            )
+        elif use_pallas:
+            h2 = mm(
+                h.reshape(-1, c),
+                qkv["w_q"],
+                qkv["s_act"] * qkv["sw"] / sb["s_qact1"],
+                qkv["bias"] / sb["s_qact1"],
+                **mm_kw,
+            ).reshape(b, n_tok, 3 * c)
+            # fused attention over the (B, N, 3C) codes: head slicing happens
+            # inside the kernel, so no split/merge transposes hit HBM
             h = lis_attention_fused(
                 h2, cfg.num_heads,
                 sb["s_qact1"] ** 2 * cfg.attn_scale / sb["s_attn1"],
@@ -267,6 +286,13 @@ def serving_forward(s, cfg: ViTConfig, x, interpret: bool = False,
                 interpret=interpret,
             )
         else:
+            h2 = mm(
+                h.reshape(-1, c),
+                qkv["w_q"],
+                qkv["s_act"] * qkv["sw"] / sb["s_qact1"],
+                qkv["bias"] / sb["s_qact1"],
+                **mm_kw,
+            ).reshape(b, n_tok, 3 * c)
             hd = cfg.head_dim
             qkv_c = h2.reshape(b, n_tok, 3, cfg.num_heads, hd).transpose(2, 0, 3, 1, 4)
             av = lis_attention_ref(

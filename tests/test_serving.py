@@ -98,3 +98,52 @@ def test_serving_matches_simulation(bits):
     rel = np.linalg.norm(srv - sim) / max(np.linalg.norm(sim), 1e-9)
     assert rel < 0.05, f"serving diverges from simulation: rel={rel}"
     assert (sim.argmax(1) == srv.argmax(1)).all()
+
+
+def test_qkv_fused_attention_bit_identical_interpret():
+    """lis_attention_qkv_fused must equal int8_matmul_requant →
+    lis_attention_fused exactly (same round/clip epilogue, f32-exact
+    integer products), both LIS on and off."""
+    from p2vit_tpu.ops.attention_lis import (
+        lis_attention_fused,
+        lis_attention_qkv_fused,
+    )
+
+    rng = np.random.RandomState(2)
+    b, n, c, heads = 2, 33, 32, 2
+    h = jnp.asarray(rng.randint(-128, 128, (b, n, c), dtype=np.int8))
+    w = jnp.asarray(rng.randint(-128, 128, (3 * c, c), dtype=np.int8))
+    rvec = jnp.asarray(2.0 ** rng.randint(-12, -4, 3 * c).astype(np.float32))
+    bvec = jnp.asarray(rng.randn(3 * c).astype(np.float32))
+    sr, sa, ro = 2.0**-9 * 0.25, 0.0625, 2.0**-2
+    for lis in (True, False):
+        qkv_codes = int8_matmul_requant(
+            h.reshape(-1, c), w, rvec, bvec, block_m=128, block_n=128,
+            interpret=True,
+        ).reshape(b, n, 3 * c)
+        two_step = lis_attention_fused(
+            qkv_codes, heads, sr, sa, ro, lis=lis, interpret=True
+        )
+        fused = lis_attention_qkv_fused(
+            h, w, rvec, bvec, heads, sr, sa, ro, lis=lis, interpret=True
+        )
+        np.testing.assert_array_equal(np.asarray(fused), np.asarray(two_step))
+
+
+def test_serving_forward_fuse_qkv_bit_identical():
+    """End-to-end serving with fuse_qkv=True equals the two-step pipeline
+    bitwise (interpret mode)."""
+    policy = make_policy()
+    params = vit.init_params(jax.random.PRNGKey(0), TINY)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 3, 32, 32))
+    calib = vit.calibrate(params, TINY, policy, x)
+    ss = serving.convert(params, calib.qstate, TINY, policy,
+                         [8] * TINY.num_matmuls)
+    base = np.asarray(
+        serving.serving_forward(ss, TINY, x, use_pallas=True, interpret=True)
+    )
+    fused = np.asarray(
+        serving.serving_forward(ss, TINY, x, use_pallas=True, interpret=True,
+                                fuse_qkv=True)
+    )
+    np.testing.assert_array_equal(base, fused)

@@ -1,0 +1,129 @@
+#!/usr/bin/env python
+"""On-chip A/B harness for the pending kernel variants (BENCH.md).
+
+Run the moment the axon tunnel is alive:
+
+    python tools/ab_tpu.py            # all sections
+    python tools/ab_tpu.py vit swin   # subset
+
+Measures (DeiT-S batch 256, Swin-T batch 64, on-device fori_loop timing —
+see BENCH.md methodology; host timing through the tunnel measures RTT):
+
+  vit:   bf16 XLA baseline; int8 serving LIS-on / LIS-off; fuse_qkv on/off
+         (qkv projection inside the attention kernel vs the two-step path).
+  swin:  int8 Swin serving with XLA window attention vs the fused Pallas
+         window-attention kernel (pallas_attn=True), plus a parity check.
+  calib: one-shot jitted full-calibration latency (100-image batch).
+
+Prints one human-readable line per measurement plus a final JSON summary
+for BENCH.md bookkeeping.
+"""
+
+import json
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from p2vit_tpu.config import make_policy
+from p2vit_tpu.models import SWIN_ZOO, VIT_ZOO
+from p2vit_tpu.models import swin as swin_mod
+from p2vit_tpu.models import vit
+from p2vit_tpu import serving, serving_swin
+from p2vit_tpu.profiling import device_time
+
+RESULTS: dict = {}
+
+
+def _t(fn, x, iters=10, repeats=3):
+    return device_time(fn, x, iters=iters, repeats=repeats)
+
+
+def section_vit():
+    policy = make_policy()
+    cfg = VIT_ZOO["deit_small_patch16_224"]
+    params = vit.init_params(jax.random.PRNGKey(0), cfg)
+    qstate = vit.synthetic_qstate(cfg)
+    sst = serving.convert(params, qstate, cfg, policy, [8] * cfg.num_matmuls)
+    batch = 256
+    x = jax.random.normal(jax.random.PRNGKey(1), (batch, 3, 224, 224))
+
+    pbf16 = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
+    f_bf16 = jax.jit(lambda xx: vit.fp_forward(pbf16, cfg, xx.astype(jnp.bfloat16)))
+    variants = {
+        "bf16_xla": f_bf16,
+        "int8_lis_on": jax.jit(
+            lambda xx: serving.serving_forward(sst, cfg, xx, use_pallas=True)
+        ),
+        "int8_lis_on_fuse_qkv": jax.jit(
+            lambda xx: serving.serving_forward(
+                sst, cfg, xx, use_pallas=True, fuse_qkv=True
+            )
+        ),
+        "int8_lis_off": jax.jit(
+            lambda xx: serving.serving_forward(sst, cfg, xx, use_pallas=True, lis=False)
+        ),
+        "int8_lis_off_fuse_qkv": jax.jit(
+            lambda xx: serving.serving_forward(
+                sst, cfg, xx, use_pallas=True, lis=False, fuse_qkv=True
+            )
+        ),
+    }
+    # parity spot check before timing
+    a = np.asarray(variants["int8_lis_on"](x[:8]))
+    b = np.asarray(variants["int8_lis_on_fuse_qkv"](x[:8]))
+    assert (a == b).all(), "fuse_qkv must be bit-identical"
+    print("fuse_qkv parity on chip: bit-identical")
+    for name, fn in variants.items():
+        ips = batch / _t(fn, x)
+        RESULTS[f"vit_{name}_img_s"] = round(ips, 1)
+        print(f"deit-small {name}: {ips:.1f} img/s")
+
+
+def section_swin():
+    policy = make_policy()
+    cfg = SWIN_ZOO["swin_tiny_patch4_window7_224"]
+    params = swin_mod.init_params(jax.random.PRNGKey(0), cfg)
+    batch = 64
+    x = jax.random.normal(jax.random.PRNGKey(1), (batch, 3, 224, 224))
+    calib = swin_mod.calibrate(params, cfg, policy, x[:8])
+    ss = serving_swin.convert(params, calib.qstate, cfg, policy, 8)
+
+    f_xla = jax.jit(lambda xx: serving_swin.serving_forward(
+        ss, calib.qstate, cfg, policy, xx, use_pallas=True))
+    f_pal = jax.jit(lambda xx: serving_swin.serving_forward(
+        ss, calib.qstate, cfg, policy, xx, use_pallas=True, pallas_attn=True))
+    a, b = np.asarray(f_xla(x[:8])), np.asarray(f_pal(x[:8]))
+    agree = float((a.argmax(1) == b.argmax(1)).mean())
+    rel = float(np.linalg.norm(a - b) / max(np.linalg.norm(a), 1e-9))
+    print(f"swin attn parity on chip: rel={rel:.2e} argmax_agree={agree}")
+    for name, fn in (("xla_attn", f_xla), ("pallas_attn", f_pal)):
+        ips = batch / _t(fn, x)
+        RESULTS[f"swin_{name}_img_s"] = round(ips, 1)
+        print(f"swin-tiny {name}: {ips:.1f} img/s")
+
+
+def section_calib():
+    policy = make_policy()
+    cfg = VIT_ZOO["deit_small_patch16_224"]
+    params = vit.init_params(jax.random.PRNGKey(0), cfg)
+    xc = jax.random.normal(jax.random.PRNGKey(7), (100, 3, 224, 224))
+
+    def calib_step(xx):
+        qs, _ = vit._calibrate_jit(params, cfg, policy, xx, None)
+        return jnp.stack(
+            [jnp.asarray(l, jnp.float32).sum() for l in jax.tree.leaves(qs)]
+        ).sum()[None]
+
+    s = _t(jax.jit(calib_step), xc, iters=1, repeats=4)
+    RESULTS["calib_s_100img"] = round(s, 3)
+    print(f"calibration (100 img, one jitted solve): {s:.3f} s")
+
+
+if __name__ == "__main__":
+    sections = sys.argv[1:] or ["vit", "swin", "calib"]
+    print("devices:", jax.devices())
+    for name in sections:
+        globals()[f"section_{name}"]()
+    print(json.dumps(RESULTS))

@@ -85,6 +85,58 @@ class ImageFolder:
         return img, target
 
 
+class NativeImageFolder(ImageFolder):
+    """ImageFolder whose batches decode in the native C++ thread pool.
+
+    The native pipeline (p2vit_tpu/native/dataload.cpp) replicates the PIL
+    path bit-exactly: same libjpeg ISLOW decode, Pillow's fixed-point
+    bicubic resampling, the same center-crop and f32 normalize association.
+    Images the native decoder can't handle (e.g. webp/bmp) fall back to the
+    per-image PIL path, so results are identical either way — only faster
+    (decode+resize parallelized across a std::thread pool instead of the
+    Python loop; the reference used fork()ed DataLoader workers,
+    /root/reference/test_quant.py:137-158).
+    """
+
+    def __init__(self, root: str, img_size=224, mean=(0.485, 0.456, 0.406),
+                 std=(0.229, 0.224, 0.225), crop_pct=0.875, n_threads=0):
+        super().__init__(
+            root, transform=build_transform(img_size, mean, std, crop_pct)
+        )
+        self.img_size = img_size
+        self.resize_size = int(img_size / crop_pct)
+        self.mean = tuple(float(m) for m in mean)
+        self.std = tuple(float(s) for s in std)
+        self.n_threads = n_threads
+
+    def load_batch(self, indices):
+        import ctypes
+
+        from . import native
+
+        lib = native.load()
+        paths = [self.samples[int(i)][0] for i in indices]
+        targets = np.asarray(
+            [self.samples[int(i)][1] for i in indices], dtype=np.int64
+        )
+        n = len(paths)
+        out = np.empty((n, 3, self.img_size, self.img_size), dtype=np.float32)
+        rc = np.zeros(n, dtype=np.int32)
+        carr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+        mean_c = (ctypes.c_float * 3)(*self.mean)
+        std_c = (ctypes.c_float * 3)(*self.std)
+        failed = lib.p2vit_load_batch(
+            carr, n, self.resize_size, self.img_size, mean_c, std_c,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            rc.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            self.n_threads,
+        )
+        if failed:
+            for i in np.nonzero(rc)[0]:  # PIL fallback per failed image
+                out[i] = self[int(indices[int(i)])][0]
+        return out, targets
+
+
 def iterate_batches(
     dataset,
     batch_size: int,
@@ -94,16 +146,22 @@ def iterate_batches(
 ) -> Iterator[tuple]:
     """Minimal host-side batch loader: yields (float32 [B,3,H,W], int64 [B]).
 
-    Replaces the reference's DataLoader worker pool (test_quant.py:137-158);
-    for TPU eval the host loop overlaps with device compute via async
-    dispatch, which covers ImageNet-val preprocessing at these batch sizes.
+    Replaces the reference's DataLoader worker pool (test_quant.py:137-158):
+    datasets exposing ``load_batch`` (NativeImageFolder) decode each batch in
+    the C++ thread pool; otherwise the per-image Python path runs. Either
+    way, for TPU eval the host loop overlaps with device compute via async
+    dispatch.
     """
     idx = np.arange(len(dataset))
     if shuffle:
         np.random.RandomState(seed).shuffle(idx)
+    native = hasattr(dataset, "load_batch")
     for start in range(0, len(idx), batch_size):
         sel = idx[start : start + batch_size]
         if drop_last and len(sel) < batch_size:
             return
-        imgs, targets = zip(*(dataset[i] for i in sel))
-        yield np.stack(imgs), np.asarray(targets, dtype=np.int64)
+        if native:
+            yield dataset.load_batch(sel)
+        else:
+            imgs, targets = zip(*(dataset[i] for i in sel))
+            yield np.stack(imgs), np.asarray(targets, dtype=np.int64)

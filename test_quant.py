@@ -93,6 +93,10 @@ def build_parser():
     p.add_argument("--live-hessian", action="store_true",
                    help="compute Hessian traces instead of hardcoded tables")
     p.add_argument("--hessian-batches", default=2, type=int)
+    p.add_argument("--native-loader", action="store_true",
+                   help="decode/preprocess batches in the C++ thread pool "
+                        "(bit-exact with the PIL path; uses --num-workers "
+                        "threads)")
     return p
 
 
@@ -139,6 +143,14 @@ def main():
     pp = PREPROCESS[args.model.split("_")[0]]
     tf = data.build_transform(cfg.img_size, pp["mean"], pp["std"], pp["crop_pct"])
 
+    def make_dataset(split):
+        if args.native_loader:
+            return data.NativeImageFolder(
+                f"{args.data}/{split}", cfg.img_size, pp["mean"], pp["std"],
+                pp["crop_pct"], n_threads=args.num_workers,
+            )
+        return data.ImageFolder(f"{args.data}/{split}", tf)
+
     calib = None
     if args.quant:
         if args.load_quant_state:
@@ -165,7 +177,7 @@ def main():
                 print("Calibrating with generated data...")
             else:
                 print("Calibrating with real data...")
-                train = data.ImageFolder(f"{args.data}/train", tf)
+                train = make_dataset("train")
                 it = data.iterate_batches(
                     train, args.calib_batchsize, shuffle=True, seed=args.seed,
                     drop_last=True,
@@ -187,7 +199,7 @@ def main():
                 checkpoints.save_quant_state(args.save_quant_state, calib)
                 print(f"Saved quantization state to {args.save_quant_state}")
 
-    val = data.ImageFolder(f"{args.data}/val", tf)
+    val = make_dataset("val")
 
     if args.quant and is_swin and args.serve:
         from p2vit_tpu import serving_swin
@@ -286,7 +298,7 @@ def main():
             from p2vit_tpu.hessian import hessian_traces, normalized_mean_hessian
 
             print("Calculating sensitivities via the averaged Hessian trace...")
-            train = data.ImageFolder(f"{args.data}/train", tf)
+            train = make_dataset("train")
             traces = []
             for i, (imgs, targets) in enumerate(
                 data.iterate_batches(train, args.calib_batchsize, shuffle=True,

@@ -143,25 +143,60 @@ def iterate_batches(
     shuffle: bool = False,
     seed: int = 0,
     drop_last: bool = False,
+    prefetch: int = 0,
 ) -> Iterator[tuple]:
     """Minimal host-side batch loader: yields (float32 [B,3,H,W], int64 [B]).
 
     Replaces the reference's DataLoader worker pool (test_quant.py:137-158):
     datasets exposing ``load_batch`` (NativeImageFolder) decode each batch in
-    the C++ thread pool; otherwise the per-image Python path runs. Either
-    way, for TPU eval the host loop overlaps with device compute via async
-    dispatch.
+    the C++ thread pool; otherwise the per-image Python path runs.
+
+    ``prefetch``: when > 0, batches are produced by a background thread into
+    a bounded queue of that depth, so host decode overlaps the consumer's
+    device step (double buffering with prefetch=1..2 hides the preprocessing
+    latency behind TPU compute).
     """
     idx = np.arange(len(dataset))
     if shuffle:
         np.random.RandomState(seed).shuffle(idx)
     native = hasattr(dataset, "load_batch")
-    for start in range(0, len(idx), batch_size):
-        sel = idx[start : start + batch_size]
-        if drop_last and len(sel) < batch_size:
-            return
-        if native:
-            yield dataset.load_batch(sel)
-        else:
-            imgs, targets = zip(*(dataset[i] for i in sel))
-            yield np.stack(imgs), np.asarray(targets, dtype=np.int64)
+
+    def produce():
+        for start in range(0, len(idx), batch_size):
+            sel = idx[start : start + batch_size]
+            if drop_last and len(sel) < batch_size:
+                return
+            if native:
+                yield dataset.load_batch(sel)
+            else:
+                imgs, targets = zip(*(dataset[i] for i in sel))
+                yield np.stack(imgs), np.asarray(targets, dtype=np.int64)
+
+    if prefetch <= 0:
+        yield from produce()
+        return
+
+    import queue
+    import threading
+
+    q: queue.Queue = queue.Queue(maxsize=prefetch)
+    _END = object()
+
+    def worker():
+        try:
+            for item in produce():
+                q.put(item)
+            q.put(_END)
+        except BaseException as e:  # surface decode errors in the consumer
+            q.put(e)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            break
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+    t.join()

@@ -269,7 +269,7 @@ def main():
         batch_time, top1, top5 = AverageMeter(), AverageMeter(), AverageMeter()
         end = time.time()
         for i, (imgs, targets) in enumerate(
-            data.iterate_batches(val, args.val_batchsize)
+            data.iterate_batches(val, args.val_batchsize, prefetch=2)
         ):
             if args.limit_val is not None and i >= args.limit_val:
                 break

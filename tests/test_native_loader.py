@@ -121,3 +121,34 @@ def test_native_fallback_on_unsupported_format(tmp_path):
     (ni, _), (pi, _) = (nat_ds.load_batch([0]),
                         next(data.iterate_batches(pil_ds, 1)))
     np.testing.assert_array_equal(ni, pi)
+
+
+def test_prefetch_iterator_equivalence(tmp_path):
+    """prefetch=N must yield the same batches in the same order, and
+    propagate producer errors."""
+    rng = np.random.RandomState(3)
+    d = tmp_path / "val" / "a"
+    d.mkdir(parents=True)
+    for j in range(7):
+        Image.fromarray(
+            rng.randint(0, 256, (100, 120, 3), dtype=np.uint8)
+        ).save(str(d / f"{j}.jpg"), quality=90)
+    ds = data.ImageFolder(
+        str(tmp_path / "val"), data.build_transform(img_size=64, crop_pct=0.9)
+    )
+    plain = list(data.iterate_batches(ds, 3, shuffle=True, seed=5))
+    pref = list(data.iterate_batches(ds, 3, shuffle=True, seed=5, prefetch=2))
+    assert len(plain) == len(pref)
+    for (a, ta), (b, tb) in zip(plain, pref):
+        np.testing.assert_array_equal(a, b)
+        np.testing.assert_array_equal(ta, tb)
+
+    class Boom:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            raise RuntimeError("decode failed")
+
+    with pytest.raises(RuntimeError, match="decode failed"):
+        list(data.iterate_batches(Boom(), 2, prefetch=2))

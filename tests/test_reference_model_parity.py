@@ -393,3 +393,17 @@ def test_full_size_deit_tiny_parity(ref_setup):
         )
         assert rel < 0.3, f"full-size W{bits}A8 diverges: rel={rel}"
         assert (ours.argmax(1) == ref_logits.argmax(1)).all()
+
+        # the int8 serving pipeline at full size: codes end-to-end must
+        # track the fake-quant simulation (argmax + bounded drift) — the
+        # deploy path's accuracy evidence at real geometry
+        from p2vit_tpu import serving
+
+        sstate = serving.convert(params, qs, DEIT_T, policy, bit_config)
+        srv = np.asarray(
+            serving.serving_forward(sstate, DEIT_T, jnp.asarray(x),
+                                    use_pallas=False)
+        )
+        srel = np.linalg.norm(srv - ours) / max(np.linalg.norm(ours), 1e-9)
+        assert srel < 0.3, f"full-size W{bits} serving vs sim: rel={srel}"
+        assert (srv.argmax(1) == ours.argmax(1)).all()

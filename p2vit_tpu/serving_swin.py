@@ -7,7 +7,8 @@ shift-requant kernels; the windowed attention (49-token windows, head_dim 32
 — far below MXU tile size) runs the same integer math in XLA, where the
 tiny-window shapes schedule better than a Pallas grid of B·nW micro-steps.
 
-Weight bit is uniform (models/swin.py rationale); activations int8.
+Weight bits are per-layer (uniform by default — the FQ-ViT setting);
+activations int8.
 """
 
 from __future__ import annotations
@@ -41,13 +42,24 @@ _ROW = {4: 2, 8: 3}
 _BOUNDS = {4: (-8, 7), 8: (-128, 127)}
 
 
-def convert(params, qstate, cfg: SwinConfig, policy: QuantPolicy, w_bit: int = 8):
-    """Freeze int8 weight codes + requant constants for a uniform w_bit."""
-    assert policy.int_norm, "Swin serving requires the PTF integer-LN pipeline"
-    row = _ROW[w_bit]
-    qmin, qmax = _BOUNDS[w_bit]
+def convert(params, qstate, cfg: SwinConfig, policy: QuantPolicy, bit_config=8):
+    """Freeze int8 weight codes + requant constants for a bit config.
 
-    def wq(w, dic):
+    ``bit_config``: a single int (uniform weight bit, the FQ-ViT default)
+    or a per-layer list of length cfg.num_matmuls in the calibration-walk
+    slot order ([patch] + per stage (per block [qkv, proj, fc1, fc2]) +
+    [downsample] + [head]) — the layout of swin.quant_forward_mixed and the
+    mixed-precision search."""
+    assert policy.int_norm, "Swin serving requires the PTF integer-LN pipeline"
+    if isinstance(bit_config, int):
+        bits = [bit_config] * cfg.num_matmuls
+    else:
+        bits = [int(b) for b in bit_config]
+        assert len(bits) == cfg.num_matmuls, (len(bits), cfg.num_matmuls)
+
+    def wq(w, dic, bit):
+        row = _ROW[bit]
+        qmin, qmax = _BOUNDS[bit]
         sw = dic[row]
         return {
             "w_q": jnp.clip(jnp.round(w / sw[:, None]), qmin, qmax).astype(jnp.int8),
@@ -55,13 +67,14 @@ def convert(params, qstate, cfg: SwinConfig, policy: QuantPolicy, w_bit: int = 8
         }
 
     s: dict = {
-        "patch": wq(params["patch_embed"]["w"], qstate["patch_wscale"]),
+        "patch": wq(params["patch_embed"]["w"], qstate["patch_wscale"], bits[0]),
         "patch_b": params["patch_embed"]["b"],
-        "head": wq(params["head"]["w"], qstate["head_wscale"]),
+        "head": wq(params["head"]["w"], qstate["head_wscale"], bits[-1]),
         "head_b": params["head"]["b"],
         "lis": 1 if policy.int_softmax else 0,
         "stages": [],
     }
+    slot = 1
     for i, stage in enumerate(params["stages"]):
         sq = qstate["stages"][i]
         st = {"blocks": []}
@@ -69,26 +82,31 @@ def convert(params, qstate, cfg: SwinConfig, policy: QuantPolicy, w_bit: int = 8
             bq = sq["blocks"][j]
             st["blocks"].append(
                 {
-                    "qkv": wq(blk["qkv"]["w"], bq["attn"]["qkv_wscale"]),
+                    "qkv": wq(blk["qkv"]["w"], bq["attn"]["qkv_wscale"], bits[slot]),
                     "qkv_b": blk["qkv"]["b"],
-                    "proj": wq(blk["proj"]["w"], bq["attn"]["proj_wscale"]),
+                    "proj": wq(blk["proj"]["w"], bq["attn"]["proj_wscale"],
+                               bits[slot + 1]),
                     "proj_b": blk["proj"]["b"],
-                    "fc1": wq(blk["fc1"]["w"], bq["fc1_wscale"]),
+                    "fc1": wq(blk["fc1"]["w"], bq["fc1_wscale"], bits[slot + 2]),
                     "fc1_b": blk["fc1"]["b"],
-                    "fc2": wq(blk["fc2"]["w"], bq["fc2_wscale"]),
+                    "fc2": wq(blk["fc2"]["w"], bq["fc2_wscale"], bits[slot + 3]),
                     "fc2_b": blk["fc2"]["b"],
                     "bias_table": blk["bias_table"],
                     "norm1": blk["norm1"],
                     "norm2": blk["norm2"],
                 }
             )
+            slot += 4
         if "downsample" in stage:
             ds = stage["downsample"]
             st["downsample"] = {
-                "red": wq(ds["reduction"]["w"], sq["downsample"]["red_wscale"]),
+                "red": wq(ds["reduction"]["w"], sq["downsample"]["red_wscale"],
+                          bits[slot]),
                 "norm": ds["norm"],
             }
+            slot += 1
         s["stages"].append(st)
+    assert slot == cfg.num_matmuls - 1  # head consumed bits[-1]
     s["patch_norm"] = params["patch_norm"]
     s["norm"] = params["norm"]
     return s

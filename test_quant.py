@@ -208,13 +208,13 @@ def main():
         _sw_cache = {}
 
         def model_fn(x, bit_config):
-            w_bit = int(bit_config[0]) if bit_config else 8
-            if w_bit not in _sw_cache:
-                _sw_cache[w_bit] = serving_swin.convert(
-                    params, calib.qstate, cfg, policy, w_bit
+            key = tuple(int(b) for b in bit_config)
+            if key not in _sw_cache:
+                _sw_cache[key] = serving_swin.convert(
+                    params, calib.qstate, cfg, policy, list(key)
                 )
             return serving_swin.serving_forward(
-                _sw_cache[w_bit], calib.qstate, cfg, policy, x,
+                _sw_cache[key], calib.qstate, cfg, policy, x,
                 use_pallas=on_accel,
             )
     elif args.quant and is_swin:
@@ -290,9 +290,6 @@ def main():
 
     if args.mixed:
         assert args.quant, "--mixed requires --quant"
-        if is_swin and args.serve:
-            raise SystemExit("--mixed --serve for Swin: the int8 Swin serving "
-                             "pipeline is uniform-bit; drop --serve")
         n = cfg.num_matmuls
         if args.live_hessian:
             from p2vit_tpu.hessian import hessian_traces, normalized_mean_hessian

@@ -96,3 +96,37 @@ def test_swin_kernel_mask_chunk_indexing():
         jnp.round(av.transpose(0, 2, 1, 3).reshape(w, n, c) * ro), -128, 127
     ).astype(jnp.int8)
     assert np.array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_swin_serving_mixed_bits_matches_simulation(setup):
+    """Per-layer bit_config serving (beyond the reference, whose Swin has no
+    bit_config at all): convert with a mixed list, compare against
+    quant_forward_mixed. The uniform-int path must equal the list path."""
+    from p2vit_tpu.models.vit import bits_to_idx
+
+    policy, params, x, calib = setup
+    n = TINY.num_matmuls
+    rng = np.random.RandomState(0)
+    mixed = [8] + [int(b) for b in rng.choice([4, 8], n - 2)] + [8]
+
+    sim = np.asarray(
+        swin.quant_forward_mixed(
+            params, calib.qstate, TINY, policy, x, bits_to_idx(mixed)
+        )
+    )
+    ss = serving_swin.convert(params, calib.qstate, TINY, policy, mixed)
+    srv = np.asarray(
+        serving_swin.serving_forward(
+            ss, calib.qstate, TINY, policy, x, use_pallas=False
+        )
+    )
+    rel = np.linalg.norm(srv - sim) / max(np.linalg.norm(sim), 1e-9)
+    assert rel < 0.05, f"mixed swin serving diverges: rel={rel}"
+    assert (sim.argmax(1) == srv.argmax(1)).all()
+
+    # uniform int arg == uniform list arg, bitwise
+    a = serving_swin.convert(params, calib.qstate, TINY, policy, 4)
+    bcfg = serving_swin.convert(params, calib.qstate, TINY, policy, [4] * n)
+    for la, lb in zip(jax.tree_util.tree_leaves(a),
+                      jax.tree_util.tree_leaves(bcfg)):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))

@@ -78,6 +78,21 @@ def main():
     )
     t_srv = _time_fn(srv_fn, x)
 
+    # staged kernel variant: qkv projection fused INTO the attention kernel
+    # (bit-identical; measured only on the accelerator — the headline takes
+    # the best serving variant, each reported as its own field)
+    t_srv_fused = None
+    if on_accel:
+        try:
+            fused_fn = jax.jit(
+                lambda xx: serving.serving_forward(
+                    sstate, cfg, xx, use_pallas=True, fuse_qkv=True
+                )
+            )
+            t_srv_fused = _time_fn(fused_fn, x)
+        except Exception as e:  # pragma: no cover - hardware dependent
+            print(f"# fuse_qkv variant unavailable: {type(e).__name__}", flush=True)
+
     # bf16 fp baseline
     params_bf16 = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
     fp_fn = jax.jit(lambda xx: vit.fp_forward(params_bf16, cfg, xx.astype(jnp.bfloat16)))
@@ -98,6 +113,18 @@ def main():
         )
     )
     t_srv_fp = _time_fn(srv_fp_fn, x)
+    t_srv_fp_fused = None
+    if on_accel:
+        try:
+            fp_fused_fn = jax.jit(
+                lambda xx: serving.serving_forward(
+                    sstate, cfg, xx, use_pallas=True, lis=False, fuse_qkv=True
+                )
+            )
+            t_srv_fp_fused = _time_fn(fp_fused_fn, x)
+        except Exception as e:  # pragma: no cover - hardware dependent
+            print(f"# lis-off fuse_qkv variant unavailable: {type(e).__name__}",
+                  flush=True)
 
     # calibration latency (guarded): the full PTQ solve — stats, 4-candidate
     # PoT searches, PTF masks, smoothquant α/per-bit caches — as ONE jitted
@@ -148,9 +175,14 @@ def main():
     except Exception as e:  # pragma: no cover - hardware dependent
         swin_ips = f"unavailable: {type(e).__name__}"
 
-    ips = batch / t_srv
     ips_fp = batch / t_fp
     ips_lis_off = batch / t_srv_fp
+    # headline = the best LIS-on serving variant (bit-identical paths)
+    lis_on_variants = {"two_step": batch / t_srv}
+    if t_srv_fused is not None:
+        lis_on_variants["fuse_qkv"] = batch / t_srv_fused
+    best_variant = max(lis_on_variants, key=lis_on_variants.get)
+    ips = lis_on_variants[best_variant]
     print(
         json.dumps(
             {
@@ -164,8 +196,23 @@ def main():
                 # lis_off = the reference's fp-softmax variant
                 "lis_on_img_s": round(ips, 2),
                 "lis_on_vs_baseline": round(ips / ips_fp, 4),
-                "lis_off_img_s": round(ips_lis_off, 2),
-                "lis_off_vs_baseline": round(ips_lis_off / ips_fp, 4),
+                "lis_on_variant": best_variant,
+                "lis_on_two_step_img_s": round(batch / t_srv, 2),
+                "lis_on_fuse_qkv_img_s": (
+                    round(batch / t_srv_fused, 2) if t_srv_fused else None
+                ),
+                "lis_off_img_s": round(
+                    max(ips_lis_off,
+                        batch / t_srv_fp_fused if t_srv_fp_fused else 0.0), 2
+                ),
+                "lis_off_vs_baseline": round(
+                    max(ips_lis_off,
+                        batch / t_srv_fp_fused if t_srv_fp_fused else 0.0)
+                    / ips_fp, 4
+                ),
+                "lis_off_fuse_qkv_img_s": (
+                    round(batch / t_srv_fp_fused, 2) if t_srv_fp_fused else None
+                ),
                 "sim_img_s": round(batch / t_sim, 2),
                 "swin_tiny_img_s": swin_ips,
                 "calib_s_100img": calib_s,

@@ -75,8 +75,11 @@ def _kernel(s_ref, q_ref, k_ref, v_ref, o_ref, *, n_valid, lis_bits, qmin, qmax)
     km = k_ref[0]
     vm = v_ref[0]
 
+    # int dot: pin DEFAULT so the global matmul_precision=highest doesn't
+    # stamp contract_precision<fp32> onto an i8 tpu.matmul (Mosaic rejects)
     acc = jax.lax.dot_general(
-        qm, km, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+        qm, km, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32,
+        precision=jax.lax.Precision.DEFAULT,
     )
     # codes of the qact_attn1 node (PoT requant of the int32 scores)
     attn_c = jnp.clip(jnp.round(acc.astype(jnp.float32) * rq), qmin, qmax)
@@ -185,7 +188,8 @@ def _fused_kernel(
         km = qkv_ref[0, :, c + h * d : c + (h + 1) * d]
         vm = qkv_ref[0, :, 2 * c + h * d : 2 * c + (h + 1) * d]
         acc = jax.lax.dot_general(
-            qm, km, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+            qm, km, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32,
+            precision=jax.lax.Precision.DEFAULT,  # int dot: see _kernel
         )
         attn_c = jnp.clip(jnp.round(acc.astype(jnp.float32) * rq), qmin, qmax)
         col = jax.lax.broadcasted_iota(jnp.int32, attn_c.shape, 1)
@@ -205,7 +209,8 @@ def _fused_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_heads", "lis_bits", "lis", "interpret")
+    jax.jit,
+    static_argnames=("num_heads", "lis_bits", "lis", "row_align", "interpret"),
 )
 def lis_attention_fused(
     qkv_q: jnp.ndarray,
@@ -215,6 +220,7 @@ def lis_attention_fused(
     out_requant,
     lis_bits: int = 4,
     lis: bool = True,
+    row_align: int = 32,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Fused quantized attention over the (B, N, 3C) fused-qkv codes.
@@ -231,7 +237,8 @@ def lis_attention_fused(
     # 197 tokens -> 224 rows instead of 256, trimming ~12.5% off every VPU
     # pass over the (rows, keys) attention matrix. Key columns stay padded
     # to the physical lane tile by Mosaic and are masked via n_valid.
-    npad = (-n) % 32
+    # row_align is an A/B knob: 128 restores clean MXU row tiles.
+    npad = (-n) % row_align
     qkv_p = jnp.pad(qkv_q, ((0, 0), (0, npad), (0, 0))) if npad else qkv_q
     nfull = n + npad
     scalars = jnp.stack(
@@ -274,6 +281,7 @@ def _qkv_fused_kernel(
     acc = jax.lax.dot_general(
         h_ref[0], w_ref[:], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32,
+        precision=jax.lax.Precision.DEFAULT,  # int dot: see _kernel
     )  # (N, 3C)
     qkv = jnp.clip(
         jnp.round(acc.astype(jnp.float32) * r_ref[:] + b_ref[:]), qmin, qmax
@@ -401,6 +409,7 @@ def _swin_kernel(
         acc = jax.lax.dot_general(
             qm, km, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.int32,
+            precision=jax.lax.Precision.DEFAULT,  # int dot: see _kernel
         )  # (G, N, N)
         attn_c = jnp.clip(jnp.round(acc.astype(jnp.float32) * rq), qmin, qmax)
         attn2 = jnp.clip(

@@ -53,11 +53,17 @@ def _gelu_exact(y):
 
 
 def _kernel(s_ref, x_ref, w_ref, r_ref, b_ref, o_ref, *, qmin, qmax, gelu):
+    # precision is meaningless for integer matmuls, but the package-global
+    # jax_default_matmul_precision=highest (needed by the f32 PoT searches,
+    # p2vit_tpu/__init__.py) would otherwise stamp contract_precision<fp32>
+    # onto the i8 tpu.matmul, which Mosaic rejects ("Bad lhs type"). Pin
+    # DEFAULT on every integer dot.
     acc = jax.lax.dot_general(
         x_ref[:],
         w_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32,
+        precision=jax.lax.Precision.DEFAULT,
     )
     # PoT requant: exact multiply by 2^k (bit-shift in silicon) + prescaled
     # bias, round-half-even like the simulation path
@@ -166,6 +172,7 @@ def _kernel_res(s_ref, x_ref, w_ref, r_ref, b_ref, res_ref, vec_ref, o_ref, *,
         w_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32,
+        precision=jax.lax.Precision.DEFAULT,  # int dot: see _kernel
     )
     s_mid = vec_ref[0, :][None, :]
     s_res = vec_ref[1, :][None, :]
@@ -259,7 +266,8 @@ def int8_matmul_requant_res_ref(
     """jnp reference twin of the residual-fused matmul."""
     n = w_q.shape[0]
     acc = jax.lax.dot_general(
-        x_q, w_q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+        x_q, w_q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32,
+        precision=jax.lax.Precision.DEFAULT,
     )
     mid = jnp.clip(
         jnp.round(acc.astype(jnp.float32) * requant_scale[None, :] + bias_scaled[None, :]),
@@ -276,7 +284,8 @@ def int8_matmul_requant_ref(
 ):
     """jnp reference (for kernel parity tests and CPU fallback)."""
     acc = jax.lax.dot_general(
-        x_q, w_q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+        x_q, w_q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32,
+        precision=jax.lax.Precision.DEFAULT,
     )
     y = acc.astype(jnp.float32) * requant_scale[None, :] + bias_scaled[None, :]
     if gelu:

@@ -35,6 +35,9 @@ def _kernel(s1_ref, x_ref, w_ref, rb_ref, res_ref, vec_ref, res_o_ref,
         w_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32,
+        # int dot: pin DEFAULT or the global matmul_precision=highest stamps
+        # contract_precision<fp32> onto the i8 tpu.matmul (Mosaic rejects)
+        precision=jax.lax.Precision.DEFAULT,
     )
     r = rb_ref[0, :][None, :]
     b = rb_ref[1, :][None, :]

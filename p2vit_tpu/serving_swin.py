@@ -162,7 +162,10 @@ def _window_attention_codes(hw, sb, bq, mask, lis, n_heads):
     q, k, v = qkv[0], qkv[1], qkv[2]
     s1 = aq["qact1"]["scale"]
     acc = jnp.einsum(
-        "bhnd,bhmd->bhnm", q.astype(jnp.int32), k.astype(jnp.int32)
+        "bhnd,bhmd->bhnm", q.astype(jnp.int32), k.astype(jnp.int32),
+        precision=jax.lax.Precision.DEFAULT,  # int dot: precision is
+        # meaningless, and the global highest default breaks int matmul
+        # lowering (see ops/matmul_int8._kernel)
     ).astype(jnp.float32)
     # attn = fq(q*scale @ k^T) at qact_attn1
     attn_c = jnp.clip(

@@ -74,7 +74,9 @@ def main():
     # int8 serving path (Pallas on accelerator, jnp fallback on CPU)
     sstate = serving.convert(params, qstate, cfg, policy, bit_config)
     srv_fn = jax.jit(
-        lambda xx: serving.serving_forward(sstate, cfg, xx, use_pallas=on_accel)
+        lambda xx: serving.serving_forward(
+            sstate, cfg, xx, use_pallas=on_accel, fuse_qkv=False
+        )
     )
     t_srv = _time_fn(srv_fn, x)
 
@@ -109,7 +111,7 @@ def main():
     # dequantized attention codes) — the faster deployment point
     srv_fp_fn = jax.jit(
         lambda xx: serving.serving_forward(
-            sstate, cfg, xx, use_pallas=on_accel, lis=False
+            sstate, cfg, xx, use_pallas=on_accel, lis=False, fuse_qkv=False
         )
     )
     t_srv_fp = _time_fn(srv_fp_fn, x)
@@ -172,8 +174,19 @@ def main():
             )
         )
         swin_ips = round(sbatch / _time_fn(swin_fn, sx), 2)
+        sparams_bf16 = jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16), sparams
+        )
+        swin_fp_fn = jax.jit(
+            lambda xx: swin_mod.fp_forward(
+                sparams_bf16, scfg, xx.astype(jnp.bfloat16)
+            )
+        )
+        swin_bf16_ips = round(sbatch / _time_fn(swin_fp_fn, sx), 2)
+        swin_vs = round(swin_ips / swin_bf16_ips, 4)
     except Exception as e:  # pragma: no cover - hardware dependent
         swin_ips = f"unavailable: {type(e).__name__}"
+        swin_bf16_ips = swin_vs = None
 
     ips_fp = batch / t_fp
     ips_lis_off = batch / t_srv_fp
@@ -215,6 +228,8 @@ def main():
                 ),
                 "sim_img_s": round(batch / t_sim, 2),
                 "swin_tiny_img_s": swin_ips,
+                "swin_tiny_bf16_img_s": swin_bf16_ips,
+                "swin_tiny_vs_baseline": swin_vs,
                 "calib_s_100img": calib_s,
                 "batch": batch,
                 "platform": jax.devices()[0].platform,

@@ -90,13 +90,18 @@ def int_ln_requant(
         otherwise).
     """
     m, c = codes.shape
-    if m % block_m:  # avoid the M pad copy + output slice
-        for cand in (512, 384, 256, 128):
-            if m % cand == 0:
-                block_m = cand
-                break
     cp = _pad_to(codes, 1, 128)
     cpad = cp.shape[1]
+    # The f32 row-stats temporaries cost ~27 B per block element of scoped
+    # VMEM; cap block_m · cpad ≈ 512·768 so wide-channel layers (Swin's 4C
+    # patch-merging LN, C=1536) stay under the 16 MB scoped-vmem limit.
+    cap = max(128, (393216 // cpad) // 128 * 128)
+    block_m = min(block_m, cap)
+    if m % block_m:  # avoid the M pad copy + output slice when possible
+        for cand in (512, 384, 256, 128):
+            if cand <= cap and m % cand == 0:
+                block_m = cand
+                break
     cp = _pad_to(cp, 0, block_m)
     mp = cp.shape[0]
     vecs = jnp.stack(

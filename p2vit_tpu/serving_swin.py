@@ -219,8 +219,12 @@ def _bias_values(sb, aq, ws, n, n_heads):
 )
 def serving_forward(s, qstate, cfg: SwinConfig, policy: QuantPolicy, x,
                     interpret: bool = False, use_pallas: bool = True,
-                    pallas_attn: bool = False):
+                    pallas_attn: bool = True):
     """Run the Swin int8 pipeline on an fp image batch; returns f32 logits.
+
+    ``pallas_attn`` (default ON): the fused Pallas window-attention kernel —
+    bit-identical to the XLA path on chip and 35% faster end to end
+    (1937 vs 1433 img/s, Swin-T batch 64, tools/ab_tpu.py 2026-08-16).
 
     The patch conv runs fp (Swin has no input quantizer — constructors never
     pass input_quant, swin_quant.py:917-930), then everything downstream is
@@ -267,7 +271,7 @@ def serving_forward(s, qstate, cfg: SwinConfig, policy: QuantPolicy, x,
             mask = (
                 jnp.asarray(shift_attn_mask(res, res, ws, shift)) if shift else None
             )
-            if pallas_attn:
+            if pallas_attn and use_pallas:
                 aq2 = bq["attn"]
                 hd = c // heads
                 hw = swin_lis_attention(

@@ -140,7 +140,8 @@ def test_serving_forward_fuse_qkv_bit_identical():
     ss = serving.convert(params, calib.qstate, TINY, policy,
                          [8] * TINY.num_matmuls)
     base = np.asarray(
-        serving.serving_forward(ss, TINY, x, use_pallas=True, interpret=True)
+        serving.serving_forward(ss, TINY, x, use_pallas=True, interpret=True,
+                                fuse_qkv=False)
     )
     fused = np.asarray(
         serving.serving_forward(ss, TINY, x, use_pallas=True, interpret=True,

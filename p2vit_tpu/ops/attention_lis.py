@@ -24,6 +24,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .fastmath import exp2i, floor_log2i
+
 _EXP_N = 32  # range-reduction steps (layers.py:402)
 _COEF = (0.35815147, 0.96963238, 1.0)  # int-exp polynomial (layers.py:387)
 
@@ -38,7 +40,10 @@ def _int_exp(x_int, scale):
     b_int = jnp.floor((c1 / c0) / scale)
     c_int = jnp.floor((c2 / c0) / scale**2)
     poly = r * (r + b_int) + c_int
-    return jnp.maximum(jnp.floor(poly * 2.0 ** (_EXP_N - q)), 0.0)
+    # 2^(N-q) for integer q ∈ [0, N]: exponent construction is exact and
+    # skips the VPU exp2 transcendental (ops/fastmath.py)
+    p2 = exp2i(_EXP_N - q.astype(jnp.int32))
+    return jnp.maximum(jnp.floor(poly * p2), 0.0)
 
 
 def _lis_from_scores(attn_c, s_attn, col, n_valid, lis_bits):
@@ -51,6 +56,9 @@ def _lis_from_scores(attn_c, s_attn, col, n_valid, lis_bits):
     unit on v5e — see BENCH.md "attempted and rejected" — so
     transcendentals stay.)
     """
+    # the exponent-extraction big (below) is bit-identical to the log2 form
+    # only while the 2^lis_bits overflow threshold stays ≤ 2^19
+    assert lis_bits <= 4, f"lis_bits={lis_bits}: exponent-trick proof bound"
     x_int = attn_c - attn_c.max(axis=-1, keepdims=True)
     exp_int = _int_exp(x_int, s_attn)
     # padded key columns must contribute ZERO mass (int_exp never underflows
@@ -60,18 +68,24 @@ def _lis_from_scores(attn_c, s_attn, col, n_valid, lis_bits):
     # exp_int == 0 → +inf → log2 → inf → overflow mask, exactly like the
     # reference's unguarded division (layers.py:422)
     softmax_out = jnp.round(exp_sum / exp_int)
-    big = jnp.floor(jnp.log2(softmax_out))
-    p = jnp.exp2(big)
-    # 2^-(big+tie) via the EXACT reciprocal of a power of two — one divide
-    # replaces the second exp2 of the naive form, and the 0..2^bits-1 clip
-    # is redundant: big ≥ 0 (softmax_out = round(S/e) ≥ 1 since e is one of
-    # S's non-negative summands) and the overflow mask covers the top end.
-    # exp_int == 0 rows: p = inf → pinv = 0, tie = (inf-inf ≥ ·) = False,
-    # big + 0 ≥ 2^bits → masked to 0, same as the reference's overflow.
-    pinv = 1.0 / p
+    # big = ⌊log2 softmax_out⌋ via exponent extraction — exact, and
+    # bit-identical to floor(jnp.log2(·)) under the overflow mask (the two
+    # can only differ for softmax_out ≥ 2^19, which is masked to 0 either
+    # way for lis_bits ≤ 4; proof in ops/fastmath.py)
+    big = floor_log2i(softmax_out)
+    p = exp2i(big)
+    pinv = exp2i(-big)
+    # 2^-(big+tie): exact power-of-two halving; the 0..2^bits-1 clip of the
+    # naive form is redundant (big ≥ 0 since softmax_out = round(S/e) ≥ 1,
+    # and the overflow mask covers the top end).
+    # exp_int == 0 rows: softmax_out = inf → big = 128 → p = inf, pinv is
+    # garbage (-inf), tie = (inf-inf ≥ ·) = False, and big ≥ 2^bits masks
+    # the row to 0 — same as the reference's overflow.
     tie = (softmax_out - p) >= p * 0.5
     out = jnp.where(tie, 0.5 * pinv, pinv)
-    return jnp.where(big + tie >= 2.0**lis_bits, 0.0, out)
+    return jnp.where(
+        big + tie.astype(jnp.int32) >= 2**lis_bits, 0.0, out
+    )
 
 
 def _kernel(s_ref, q_ref, k_ref, v_ref, o_ref, *, n_valid, lis_bits, qmin, qmax):
@@ -309,6 +323,13 @@ def _qkv_fused_kernel(
     qkv = jnp.clip(
         jnp.round(acc.astype(jnp.float32) * r_ref[:] + b_ref[:]), qmin, qmax
     ).astype(jnp.int8).reshape(g, nfull, 3 * c)
+
+    # per-head rolled loop. (A staged schedule — all q@kᵀ dots, then all
+    # softmax chains, then all attn@v — was A/B'd 2026-08-16 hoping Mosaic
+    # would overlap MXU dots with the VPU-bound chains: no speedup at g=4
+    # and a VMEM compile failure at g=8 from 12 live (G,N,N) f32 buffers.
+    # Mosaic serializes MXU/VPU either way; the rolled loop keeps ≤2 score
+    # buffers live.)
     outs = []
     for h in range(num_heads):
         qm = qkv[:, :, h * d : (h + 1) * d]
@@ -352,7 +373,7 @@ def lis_attention_qkv_fused(
     out_requant,
     lis_bits: int = 4,
     lis: bool = True,
-    images_per_step: int = 2,
+    images_per_step: int = 4,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """qkv projection + fused attention over qact0 codes.

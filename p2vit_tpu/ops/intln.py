@@ -32,28 +32,49 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .fastmath import exp2i, floor_log2i
+
+
+def ln_mn_chain(x, sx, sxx, s1, c_true, w_os, b_os):
+    """Shared M·2⁻ᴺ LN chain on PTF-aligned codes ``x`` with row sums given.
+
+    One definition serves the Pallas kernels (here + ops/matmul_ln.py) and
+    every jnp serving twin, so they cannot drift. Two VPU optimizations vs
+    the naive transcription, both serving-side only (the simulation keeps
+    the torch-parallel forms, quant/intops.py):
+
+      * ``w_os`` = ln_w/out_scale and ``b_os`` = ln_b/out_scale arrive as
+        PRECOMPUTED constant vectors — hoisting those divides out of the
+        (rows, C) element grid removes the two most expensive per-element
+        ops of the epilogue (f32 divide is multi-pass on the VPU).
+      * N/2^N/2^-N via exponent extraction (exact; ops/fastmath.py), no
+        log2/exp2 transcendentals.
+
+    Returns y = round((sign(A)·M·x + B)·2^-N).
+    """
+    mean = (sx / c_true) * s1
+    std = (s1 / c_true) * jnp.sqrt(c_true * sxx - sx * sx)
+    a = (s1 / std) * w_os  # per-row divide only: std is (rows, 1)
+    a_sign = jnp.sign(a)
+    a_abs = jnp.abs(a)
+    n = jnp.clip(7 - floor_log2i(a_abs), 0, 31)
+    p2n = exp2i(n)
+    m = jnp.clip(jnp.floor(a_abs * p2n), 0.0, 255.0)
+    bb = jnp.round((b_os - (mean / std) * w_os) * p2n)
+    return jnp.round((a_sign * m * x + bb) * exp2i(-n))
+
 
 def _kernel(s1_ref, codes_ref, vec_ref, o_ref, *, c_true):
     s1 = s1_ref[0, 0]
     mask = vec_ref[0, :][None, :]
-    w = vec_ref[1, :][None, :]
-    b = vec_ref[2, :][None, :]
-    out_scale = vec_ref[3, :][None, :]
-    ratio = vec_ref[4, :][None, :]
+    w_os = vec_ref[1, :][None, :]
+    b_os = vec_ref[2, :][None, :]
+    ratio = vec_ref[3, :][None, :]
 
     x = codes_ref[:].astype(jnp.float32) * mask
     sx = jnp.sum(x, axis=1, keepdims=True)
     sxx = jnp.sum(x * x, axis=1, keepdims=True)
-    mean = (sx / c_true) * s1
-    std = (s1 / c_true) * jnp.sqrt(c_true * sxx - sx * sx)
-    a = (s1 / std) * w / out_scale
-    a_sign = jnp.sign(a)
-    a_abs = jnp.abs(a)
-    n = jnp.clip(7.0 - jnp.floor(jnp.log2(a_abs)), 0.0, 31.0)
-    p2n = jnp.exp2(n)
-    m = jnp.clip(jnp.floor(a_abs * p2n), 0.0, 255.0)
-    bb = jnp.round((b - (mean / std) * w) / out_scale * p2n)
-    y = jnp.round((a_sign * m * x + bb) / p2n)
+    y = ln_mn_chain(x, sx, sxx, s1, c_true, w_os, b_os)
     o_ref[:] = jnp.clip(jnp.round(y * ratio), -128, 127).astype(jnp.int8)
 
 
@@ -104,10 +125,13 @@ def int_ln_requant(
                 break
     cp = _pad_to(cp, 0, block_m)
     mp = cp.shape[0]
+    # hoist the /out_scale divides out of the per-element chain (ln_mn_chain)
+    w_os = jnp.asarray(ln_w, jnp.float32) / out_scale
+    b_os = jnp.asarray(ln_b, jnp.float32) / out_scale
     vecs = jnp.stack(
         [
             _pad_to(jnp.broadcast_to(jnp.asarray(v, jnp.float32), (c,)), 0, 128)
-            for v in (ptf_mask, ln_w, ln_b, out_scale, ratio)
+            for v in (ptf_mask, w_os, b_os, ratio)
         ]
     )
     s1a = jnp.asarray(s1, jnp.float32).reshape(1, 1)
@@ -118,7 +142,7 @@ def int_ln_requant(
         in_specs=[
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((block_m, cpad), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((5, cpad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, cpad), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((block_m, cpad), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((mp, cpad), jnp.int8),

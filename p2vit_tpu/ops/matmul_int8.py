@@ -176,13 +176,13 @@ def _kernel_res(s_ref, x_ref, w_ref, r_ref, b_ref, res_ref, vec_ref, o_ref, *,
     )
     s_mid = vec_ref[0, :][None, :]
     s_res = vec_ref[1, :][None, :]
-    s_out = vec_ref[2, :][None, :]
+    inv_s_out = vec_ref[2, :][None, :]  # hoisted reciprocal (see wrapper)
     # step 1: the intermediate activation node's codes (e.g. qact3) — the
     # round+clip here is load-bearing for parity with the simulation
     mid = jnp.clip(jnp.round(acc.astype(jnp.float32) * r_ref[:] + b_ref[:]), qmin, qmax)
     # step 2: residual requant-add, same f32 association as _requant_add
     val = mid * s_mid + res_ref[:].astype(jnp.float32) * s_res
-    o_ref[:] = jnp.clip(jnp.round(val / s_out), qmin, qmax).astype(jnp.int8)
+    o_ref[:] = jnp.clip(jnp.round(val * inv_s_out), qmin, qmax).astype(jnp.int8)
 
 
 @functools.partial(
@@ -229,7 +229,10 @@ def int8_matmul_requant_res(
             jnp.broadcast_to(jnp.asarray(v, jnp.float32), (n,)), 0, block_n
         )
 
-    vecs = jnp.stack([vec(s_mid), vec(s_res), jnp.maximum(vec(s_out), 1e-30)])
+    # reciprocal hoisted out of the per-element epilogue (exact for the PoT
+    # scales the search produces; 1-ulp knife edges otherwise — the jnp twin
+    # uses the identical form so kernel/twin parity stays bitwise)
+    vecs = jnp.stack([vec(s_mid), vec(s_res), 1.0 / jnp.maximum(vec(s_out), 1e-30)])
     s = jnp.zeros((1, 1), jnp.float32)
     mp, np_ = x_p.shape[0], w_p.shape[0]
 
@@ -275,7 +278,8 @@ def int8_matmul_requant_res_ref(
     )
     bc = lambda v: jnp.broadcast_to(jnp.asarray(v, jnp.float32), (n,))[None, :]
     val = mid * bc(s_mid) + res_q.astype(jnp.float32) * bc(s_res)
-    return jnp.clip(jnp.round(val / bc(s_out)), qmin, qmax).astype(jnp.int8)
+    inv_s_out = 1.0 / jnp.maximum(bc(s_out), 1e-30)  # kernel's hoisted form
+    return jnp.clip(jnp.round(val * inv_s_out), qmin, qmax).astype(jnp.int8)
 
 
 def int8_matmul_requant_ref(

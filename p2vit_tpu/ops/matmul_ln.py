@@ -26,6 +26,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .intln import ln_mn_chain
+
 
 def _kernel(s1_ref, x_ref, w_ref, rb_ref, res_ref, vec_ref, res_o_ref,
             ln_o_ref, *, qmin, qmax, c_true):
@@ -43,32 +45,22 @@ def _kernel(s1_ref, x_ref, w_ref, rb_ref, res_ref, vec_ref, res_o_ref,
     b = rb_ref[1, :][None, :]
     s_mid = vec_ref[0, :][None, :]
     s_res = vec_ref[1, :][None, :]
-    s_out = vec_ref[2, :][None, :]
+    inv_s_out = vec_ref[2, :][None, :]  # hoisted reciprocal (see wrapper)
     # mid-node codes (round/clip is load-bearing for parity)
     mid = jnp.clip(jnp.round(acc.astype(jnp.float32) * r + b), qmin, qmax)
     val = mid * s_mid + res_ref[:].astype(jnp.float32) * s_res
-    res_codes = jnp.clip(jnp.round(val / s_out), qmin, qmax)
+    res_codes = jnp.clip(jnp.round(val * inv_s_out), qmin, qmax)
     res_o_ref[:] = res_codes.astype(jnp.int8)
 
-    # integer LN on the residual codes (ops/intln.py math, op for op)
+    # integer LN on the residual codes (shared chain, ops/intln.py)
     mask = vec_ref[3, :][None, :]
-    ln_w = vec_ref[4, :][None, :]
-    ln_b = vec_ref[5, :][None, :]
-    ln_out_scale = vec_ref[6, :][None, :]
-    ratio = vec_ref[7, :][None, :]
+    w_os = vec_ref[4, :][None, :]
+    b_os = vec_ref[5, :][None, :]
+    ratio = vec_ref[6, :][None, :]
     x = res_codes * mask
     sx = jnp.sum(x, axis=1, keepdims=True)
     sxx = jnp.sum(x * x, axis=1, keepdims=True)
-    mean = (sx / c_true) * s1
-    std = (s1 / c_true) * jnp.sqrt(c_true * sxx - sx * sx)
-    a = (s1 / std) * ln_w / ln_out_scale
-    a_sign = jnp.sign(a)
-    a_abs = jnp.abs(a)
-    n = jnp.clip(7.0 - jnp.floor(jnp.log2(a_abs)), 0.0, 31.0)
-    p2n = jnp.exp2(n)
-    m = jnp.clip(jnp.floor(a_abs * p2n), 0.0, 255.0)
-    bb = jnp.round((ln_b - (mean / std) * ln_w) / ln_out_scale * p2n)
-    y = jnp.round((a_sign * m * x + bb) / p2n)
+    y = ln_mn_chain(x, sx, sxx, s1, c_true, w_os, b_os)
     ln_o_ref[:] = jnp.clip(jnp.round(y * ratio), qmin, qmax).astype(jnp.int8)
 
 
@@ -126,15 +118,22 @@ def int8_matmul_res_ln(
     s_out_v = jnp.broadcast_to(jnp.asarray(s_out, jnp.float32), (n,))
     s1 = s_out_v.min()
     ptf_mask = jnp.round(s_out_v / s1)
+    # hoisted constants: the residual requant reciprocal and the LN chain's
+    # /out_scale divides (ln_mn_chain) — one vector divide here instead of a
+    # per-element divide in the kernel. Exact for the PoT scales the search
+    # produces; for non-PoT ablation scales this differs from a true divide
+    # only at 1-ulp knife edges (serving twins change in lockstep).
+    osc = jnp.maximum(
+        jnp.broadcast_to(jnp.asarray(ln_out_scale, jnp.float32), (n,)), 1e-30
+    )
     vecs = jnp.stack(
         [
             _pad_vec(s_mid, n, 128),
             _pad_vec(s_res, n, 128),
-            jnp.maximum(_pad_vec(s_out, n, 128), 1e-30),
+            1.0 / jnp.maximum(_pad_vec(s_out, n, 128), 1e-30),
             _pad_vec(ptf_mask, n, 128),
-            _pad_vec(ln_w, n, 128),
-            _pad_vec(ln_b, n, 128),
-            jnp.maximum(_pad_vec(ln_out_scale, n, 128), 1e-30),
+            _pad_vec(jnp.asarray(ln_w, jnp.float32) / osc, n, 128),
+            _pad_vec(jnp.asarray(ln_b, jnp.float32) / osc, n, 128),
             _pad_vec(ratio, n, 128),
         ]
     )
@@ -149,7 +148,7 @@ def int8_matmul_res_ln(
             pl.BlockSpec((npad, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((2, npad), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((block_m, npad), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, npad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((7, npad), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((block_m, npad), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -168,7 +167,8 @@ def int8_matmul_res_ln_ref(
     x_q, w_q, requant_scale, bias_scaled, res_q, s_mid, s_res, s_out,
     ln_w, ln_b, ln_out_scale, ratio, qmin=-128, qmax=127,
 ):
-    """jnp twin: the exact two-step sequence this kernel fuses."""
+    """jnp twin: the exact two-step sequence this kernel fuses (same hoisted
+    reciprocal/vector forms, bit for bit)."""
     from .matmul_int8 import int8_matmul_requant_res_ref
 
     res_codes = int8_matmul_requant_res_ref(
@@ -183,19 +183,12 @@ def int8_matmul_res_ln_ref(
     c = float(n)
     sx = x.sum(axis=1, keepdims=True)
     sxx = (x * x).sum(axis=1, keepdims=True)
-    mean = (sx / c) * s1
-    std = (s1 / c) * jnp.sqrt(c * sxx - sx * sx)
-    lw = jnp.broadcast_to(jnp.asarray(ln_w, jnp.float32), (n,))[None, :]
-    lb = jnp.broadcast_to(jnp.asarray(ln_b, jnp.float32), (n,))[None, :]
-    osc = jnp.broadcast_to(jnp.asarray(ln_out_scale, jnp.float32), (n,))[None, :]
+    osc = jnp.maximum(
+        jnp.broadcast_to(jnp.asarray(ln_out_scale, jnp.float32), (n,)), 1e-30
+    )
+    w_os = (jnp.asarray(ln_w, jnp.float32) / osc)[None, :]
+    b_os = (jnp.asarray(ln_b, jnp.float32) / osc)[None, :]
     rat = jnp.broadcast_to(jnp.asarray(ratio, jnp.float32), (n,))[None, :]
-    a = (s1 / std) * lw / osc
-    a_sign = jnp.sign(a)
-    a_abs = jnp.abs(a)
-    nn = jnp.clip(7.0 - jnp.floor(jnp.log2(a_abs)), 0.0, 31.0)
-    p2n = jnp.exp2(nn)
-    mm = jnp.clip(jnp.floor(a_abs * p2n), 0.0, 255.0)
-    bb = jnp.round((lb - (mean / std) * lw) / osc * p2n)
-    y = jnp.round((a_sign * mm * x + bb) / p2n)
+    y = ln_mn_chain(x, sx, sxx, s1, c, w_os, b_os)
     ln_codes = jnp.clip(jnp.round(y * rat), qmin, qmax).astype(jnp.int8)
     return res_codes, ln_codes

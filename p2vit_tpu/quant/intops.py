@@ -21,7 +21,22 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from ..ops.fastmath import exp2i
 from .bit_type import BitType
+
+
+def _pow2(n):
+    """Exact 2.0**n for an integer-valued f32 array ``n``.
+
+    torch's ``2**n`` (libm pow) is correctly rounded — exact at integer
+    exponents — but XLA lowers ``2.0**n`` to a polynomial exp2 that is OFF
+    BY ~5e-7 RELATIVE at some integer exponents (e.g. exp2(13.0) ≠ 8192 on
+    CPU). That inexactness broke the 'attention weights are exact powers of
+    two' contract and shifted log_round's tie threshold vs the torch
+    reference. Exponent-field construction (ops/fastmath.py) restores
+    bit-exact torch semantics everywhere a power of two is formed.
+    """
+    return exp2i(n.astype(jnp.int32)).astype(jnp.result_type(n, jnp.float32))
 
 
 def get_mn(x: jnp.ndarray):
@@ -33,7 +48,7 @@ def get_mn(x: jnp.ndarray):
     """
     bit = 7
     n = jnp.clip(bit - jnp.floor(jnp.log2(x)), 0, 31)
-    m = jnp.clip(jnp.floor(x * 2.0**n), 0, 2 ** (bit + 1) - 1)
+    m = jnp.clip(jnp.floor(x * _pow2(n)), 0, 2 ** (bit + 1) - 1)
     return m, n
 
 
@@ -93,13 +108,14 @@ def int_layernorm(
     a = (in_scale1 / std_x_q)[..., None] * weight.reshape(1, 1, -1) / out_scale
     a_sign = jnp.sign(a)
     m, n = get_mn(jnp.abs(a))
+    p2n = _pow2(n)  # exact 2^N (see _pow2)
     b = jnp.round(
         (bias.reshape(1, 1, -1) - (mean_x_q / std_x_q)[..., None] * weight.reshape(1, 1, -1))
         / out_scale
-        * 2.0**n
+        * p2n
     )
 
-    x_q = jnp.round((a_sign * m * x_q + b) / 2.0**n)
+    x_q = jnp.round((a_sign * m * x_q + b) / p2n)
     return x_q * out_scale
 
 
@@ -111,7 +127,13 @@ def log_round(x: jnp.ndarray):
     different tie rule from the calibration-side round_to_pot).
     """
     big = jnp.floor(jnp.log2(x))
-    extra = (x - 2.0**big) >= 2.0 ** (big - 1.0)
+    # exact 2^big / 2^(big-1): with XLA's polynomial pow the tie threshold
+    # sat ~5e-7 off the reference's (see _pow2), flipping e.g. x = 3·2^12.
+    # Guard the cast: big = ±inf (x = 0 or inf) saturates int32, so park
+    # those lanes at 0 — their comparison outcome is inf-dominated anyway.
+    big_i = jnp.where(jnp.isfinite(big), big, 0.0).astype(jnp.int32)
+    p = jnp.where(jnp.isfinite(big), exp2i(big_i), big)
+    extra = (x - p) >= p * 0.5
     return big + extra.astype(big.dtype)
 
 
@@ -138,7 +160,8 @@ def int_exp(x_int: jnp.ndarray, scaling_factor):
     q = jnp.floor(x_int / x0_int)
     r = x_int - x0_int * q
     exp_int, exp_sf = int_polynomial(r, scaling_factor)
-    exp_int = jnp.maximum(jnp.floor(exp_int * 2.0 ** (n - q)), 0.0)
+    # exact 2^(n-q), q integer ∈ [0, n] (see _pow2)
+    exp_int = jnp.maximum(jnp.floor(exp_int * _pow2(n - q)), 0.0)
     return exp_int, exp_sf / 2.0**n
 
 
@@ -166,4 +189,6 @@ def log_int_softmax(x: jnp.ndarray, scale, bit_type: BitType):
     rounds = log_round(softmax_out)
     mask = rounds >= 2**bit_type.bits
     qlog = jnp.clip(rounds, 0, 2**bit_type.bits - 1)
-    return jnp.where(mask, 0.0, 2.0 ** (-qlog))
+    # exact 2^-q — the 'attention weights are exact powers of two' contract
+    # this module's docstring promises (see _pow2)
+    return jnp.where(mask, 0.0, _pow2(-qlog))

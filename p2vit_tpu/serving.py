@@ -44,8 +44,8 @@ from .ops.matmul_int8 import (
     int8_matmul_requant_res,
     int8_matmul_requant_res_ref,
 )
+from .ops.intln import ln_mn_chain
 from .ops.matmul_ln import int8_matmul_res_ln, int8_matmul_res_ln_ref
-from .quant.intops import get_mn
 
 _I8 = (-128, 127)
 
@@ -178,19 +178,23 @@ def _int_ln_codes(c_in, s_in, w, b, out_scale, ratio, use_pallas=False,
             interpret=interpret,
         )
         return out.reshape(c_in.shape)
-    x_q = c_in.astype(jnp.float32)
+    x_q = c_in.astype(jnp.float32).reshape(-1, c)
     s_in = jnp.broadcast_to(jnp.asarray(s_in, jnp.float32), (c,))
     s1 = s_in.min()
     mask = jnp.round(s_in / s1)
     x_q = x_q * mask
-    mean = x_q.mean(axis=-1) * s1
-    std = (s1 / c) * jnp.sqrt(c * (x_q**2).sum(axis=-1) - x_q.sum(axis=-1) ** 2)
-    a = (s1 / std)[..., None] * w / out_scale
-    a_sign = jnp.sign(a)
-    m, n = get_mn(jnp.abs(a))
-    bb = jnp.round((b - (mean / std)[..., None] * w) / out_scale * 2.0**n)
-    x_q = jnp.round((a_sign * m * x_q + bb) / 2.0**n)
-    return jnp.clip(jnp.round(x_q * ratio), *_I8).astype(jnp.int8)
+    sx = x_q.sum(axis=-1, keepdims=True)
+    sxx = (x_q**2).sum(axis=-1, keepdims=True)
+    # shared serving LN chain (ops/intln.ln_mn_chain): exponent-extraction
+    # M·2^-N and hoisted /out_scale divides, matching the Pallas kernels bit
+    # for bit. (The simulation path's intops.get_mn keeps jnp.log2 and the
+    # per-element divides for op-for-op torch parity.)
+    osc = jnp.broadcast_to(jnp.asarray(out_scale, jnp.float32), (c,))
+    w_os = (jnp.asarray(w, jnp.float32) / osc)[None, :]
+    b_os = (jnp.asarray(b, jnp.float32) / osc)[None, :]
+    y = ln_mn_chain(x_q, sx, sxx, s1, float(c), w_os, b_os)
+    y = y.reshape(c_in.shape)
+    return jnp.clip(jnp.round(y * ratio), *_I8).astype(jnp.int8)
 
 
 def _requant_add(c_a, s_a, c_b, s_b, s_out):

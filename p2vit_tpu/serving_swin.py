@@ -34,7 +34,7 @@ from .ops.attention_lis import (
     _lis_from_scores,
     swin_lis_attention,
 )
-from .ops.intln import int_ln_requant
+from .ops.intln import int_ln_requant, ln_mn_chain
 from .ops.matmul_int8 import int8_matmul_requant, int8_matmul_requant_ref
 
 _I8 = (-128, 127)
@@ -130,16 +130,12 @@ def _iln(codes, s_in, lnp, out_scale, expand=1, interpret=False, use_pallas=True
     x = codes.astype(jnp.float32) * mask
     sx = x.sum(axis=-1, keepdims=True)
     sxx = (x * x).sum(axis=-1, keepdims=True)
-    mean = (sx / c) * s1
-    std = (s1 / c) * jnp.sqrt(c * sxx - sx * sx)
-    a = (s1 / std) * lnp["w"] / out_scale
-    a_sign = jnp.sign(a)
-    a_abs = jnp.abs(a)
-    n = jnp.clip(7.0 - jnp.floor(jnp.log2(a_abs)), 0.0, 31.0)
-    p2n = jnp.exp2(n)
-    m = jnp.clip(jnp.floor(a_abs * p2n), 0.0, 255.0)
-    bb = jnp.round((lnp["b"] - (mean / std) * lnp["w"]) / out_scale * p2n)
-    y = jnp.round((a_sign * m * x + bb) / p2n)
+    # shared serving LN chain (ops/intln.ln_mn_chain), matching the Pallas
+    # kernel bit for bit
+    osc = jnp.broadcast_to(jnp.asarray(out_scale, jnp.float32), (c,))
+    w_os = jnp.asarray(lnp["w"], jnp.float32) / osc
+    b_os = jnp.asarray(lnp["b"], jnp.float32) / osc
+    y = ln_mn_chain(x, sx, sxx, s1, float(c), w_os, b_os)
     return jnp.clip(jnp.round(y), *_I8).astype(jnp.int8)
 
 

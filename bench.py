@@ -1,15 +1,20 @@
-"""Benchmark: int8 Pallas serving throughput vs bf16 XLA baseline (DeiT-S).
+"""Benchmark: int8 Pallas serving throughput vs bf16 XLA baseline.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": imgs/sec (int8 serving path), "unit": "img/s",
+  {"metric": ..., "value": imgs/sec (DeiT-S int8 serving), "unit": "img/s",
    "vs_baseline": int8 / bf16-fp}
 
-Paths measured on the single local chip:
-  * value          — the W8A8-PoT int8 serving pipeline (Pallas shift-requant
-    matmuls + fused Log-Int-Softmax attention, p2vit_tpu/serving.py)
-  * baseline       — the same model, plain fp forward in bfloat16 via XLA
-    (BASELINE.json's "bf16 XLA on v5e" target; north star is ≥2×)
-  * sim (extra)    — the fake-quant f32 simulation (search/eval path)
+Multi-model: each family is measured against ITS OWN bf16 XLA forward on the
+same chip, because the int8 advantage is architecture-dependent (BENCH.md
+roofline: the integer-softmax/LN/GELU chains are mandated f32 VPU work,
+while bf16 elementwise runs at 2x the element rate — the int8 MXU edge only
+dominates as C grows). Fields:
+
+  * value / vs_baseline       — DeiT-S LIS-on headline (continuity with r1)
+  * deit_small_*, deit_base_* — per-model bf16 / LIS-on / LIS-off img/s
+  * swin_tiny_*               — Swin-T int8 (Pallas window attention)
+  * sim_img_s                 — fake-quant f32 simulation (search/eval path)
+  * calib_s_100img            — one-shot jitted full-calibration latency
 """
 
 from __future__ import annotations
@@ -20,9 +25,11 @@ import jax
 import jax.numpy as jnp
 
 
-def _time_fn(step, x, iters=10, repeats=2):
+def _time_fn(step, x, iters=20, repeats=3):
     """On-device loop timing (see p2vit_tpu.profiling.device_time for why:
-    host-side timing through the axon tunnel measures RTT, not compute)."""
+    host-side timing through the axon tunnel measures RTT, not compute; the
+    tunnel also adds ~30 ms fixed overhead per run call, so iters must be
+    large enough to amortize it — 20 x ~40 ms keeps the bias under 4%)."""
     from p2vit_tpu.profiling import device_time
 
     return device_time(step, x, iters=iters, repeats=repeats)
@@ -54,86 +61,70 @@ def _ensure_live_backend():
             os.environ["JAX_PLATFORMS"] = "cpu"
 
 
-def main():
-    _ensure_live_backend()
-    from p2vit_tpu.config import make_policy
-    from p2vit_tpu.models import VIT_ZOO
-    from p2vit_tpu.models import vit
+def _bench_vit(name, batch, policy, on_accel):
+    """bf16 / LIS-on / LIS-off img/s for one ViT-family model."""
+    from p2vit_tpu.models import VIT_ZOO, vit
     from p2vit_tpu import serving
 
-    on_accel = jax.devices()[0].platform != "cpu"
-    batch = 256 if on_accel else 8
-    cfg = VIT_ZOO["deit_small_patch16_224"]
-    policy = make_policy(ptf=True, lis=True, quant_method="minmax")
-
+    cfg = VIT_ZOO[name]
     params = vit.init_params(jax.random.PRNGKey(0), cfg)
     qstate = vit.synthetic_qstate(cfg)
-    bit_config = [8] * cfg.num_matmuls
-    x = jax.random.normal(jax.random.PRNGKey(1), (batch, 3, 224, 224), jnp.float32)
-
-    # int8 serving path (Pallas on accelerator, jnp fallback on CPU)
-    sstate = serving.convert(params, qstate, cfg, policy, bit_config)
-    srv_fn = jax.jit(
-        lambda xx: serving.serving_forward(
-            sstate, cfg, xx, use_pallas=on_accel, fuse_qkv=False
-        )
-    )
-    t_srv = _time_fn(srv_fn, x)
-
-    # staged kernel variant: qkv projection fused INTO the attention kernel
-    # (bit-identical; measured only on the accelerator — the headline takes
-    # the best serving variant, each reported as its own field)
-    t_srv_fused = None
-    if on_accel:
-        try:
-            fused_fn = jax.jit(
-                lambda xx: serving.serving_forward(
-                    sstate, cfg, xx, use_pallas=True, fuse_qkv=True
-                )
-            )
-            t_srv_fused = _time_fn(fused_fn, x)
-        except Exception as e:  # pragma: no cover - hardware dependent
-            print(f"# fuse_qkv variant unavailable: {type(e).__name__}", flush=True)
-
-    # bf16 fp baseline
+    sstate = serving.convert(params, qstate, cfg, policy,
+                             [8] * cfg.num_matmuls)
+    x = jax.random.normal(jax.random.PRNGKey(1), (batch, 3, 224, 224),
+                          jnp.float32)
     params_bf16 = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
-    fp_fn = jax.jit(lambda xx: vit.fp_forward(params_bf16, cfg, xx.astype(jnp.bfloat16)))
-    t_fp = _time_fn(fp_fn, x)
+    t_fp = _time_fn(
+        jax.jit(lambda xx: vit.fp_forward(params_bf16, cfg,
+                                          xx.astype(jnp.bfloat16))), x)
+    out = {"bf16_img_s": round(batch / t_fp, 2)}
+    for key, lis in (("lis_on", True), ("lis_off", False)):
+        t = _time_fn(
+            jax.jit(lambda xx, lis=lis: serving.serving_forward(
+                sstate, cfg, xx, use_pallas=on_accel, lis=lis)), x)
+        out[f"{key}_img_s"] = round(batch / t, 2)
+        out[f"{key}_vs_baseline"] = round(t_fp / t, 4)
+    out["batch"] = batch
+    return out, (params, qstate, cfg, sstate, x)
 
-    # fake-quant simulation (search-time eval path)
-    bit_idx = vit.bits_to_idx(bit_config)
-    quant_fn = jax.jit(
-        lambda xx: vit.quant_forward(params, qstate, cfg, policy, xx, bit_idx)
-    )
-    t_sim = _time_fn(quant_fn, x)
 
-    # LIS-off serving (Config(lis=False) reference variant: fp softmax over
-    # dequantized attention codes) — the faster deployment point
-    srv_fp_fn = jax.jit(
-        lambda xx: serving.serving_forward(
-            sstate, cfg, xx, use_pallas=on_accel, lis=False, fuse_qkv=False
-        )
+def main():
+    _ensure_live_backend()
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    from p2vit_tpu.config import make_policy
+    from p2vit_tpu.models import vit
+
+    on_accel = jax.devices()[0].platform != "cpu"
+    policy = make_policy(ptf=True, lis=True, quant_method="minmax")
+
+    res: dict = {}
+    small, (params, qstate, cfg, sstate, x) = _bench_vit(
+        "deit_small_patch16_224", 256 if on_accel else 8, policy, on_accel
     )
-    t_srv_fp = _time_fn(srv_fp_fn, x)
-    t_srv_fp_fused = None
-    if on_accel:
+    for k, v in small.items():
+        res[f"deit_small_{k}"] = v
+
+    # fake-quant simulation (search-time eval path), DeiT-S
+    bit_idx = vit.bits_to_idx([8] * cfg.num_matmuls)
+    t_sim = _time_fn(
+        jax.jit(lambda xx: vit.quant_forward(params, qstate, cfg, policy, xx,
+                                             bit_idx)), x)
+    res["sim_img_s"] = round(small["batch"] / t_sim, 2)
+
+    if on_accel:  # skip the big model on the CPU fallback (compile minutes)
         try:
-            fp_fused_fn = jax.jit(
-                lambda xx: serving.serving_forward(
-                    sstate, cfg, xx, use_pallas=True, lis=False, fuse_qkv=True
-                )
-            )
-            t_srv_fp_fused = _time_fn(fp_fused_fn, x)
+            base, _ = _bench_vit("deit_base_patch16_224", 128, policy, True)
+            for k, v in base.items():
+                res[f"deit_base_{k}"] = v
         except Exception as e:  # pragma: no cover - hardware dependent
-            print(f"# lis-off fuse_qkv variant unavailable: {type(e).__name__}",
-                  flush=True)
+            res["deit_base_lis_on_img_s"] = f"unavailable: {type(e).__name__}"
 
     # calibration latency (guarded): the full PTQ solve — stats, 4-candidate
     # PoT searches, PTF masks, smoothquant α/per-bit caches — as ONE jitted
-    # program on the reference's default 100-image batch. The reference
-    # re-runs this eagerly on every invocation; here it is a one-shot cost
-    # whose artifact serializes (checkpoints.save_quant_state).
-    calib_s = None
+    # program on the reference's default 100-image batch, best-of-4
+    # single-shot runs (one sample is meaningless under the chip's ±30%
+    # multi-tenant noise, BENCH.md methodology).
     try:
         calib_batch = 100 if on_accel else 4
         xc = jax.random.normal(
@@ -147,14 +138,13 @@ def main():
                 [jnp.asarray(l, jnp.float32).sum() for l in leaves]
             ).sum()[None]
 
-        # best-of-4 single-shot runs: one sample is meaningless under the
-        # chip's ±30% multi-tenant noise (BENCH.md methodology)
-        calib_s = round(_time_fn(jax.jit(calib_step), xc, iters=1, repeats=4), 3)
+        res["calib_s_100img"] = round(
+            _time_fn(jax.jit(calib_step), xc, iters=1, repeats=4), 3
+        )
     except Exception as e:  # pragma: no cover - hardware dependent
-        calib_s = f"unavailable: {type(e).__name__}"
+        res["calib_s_100img"] = f"unavailable: {type(e).__name__}"
 
     # Swin-Tiny int8 serving (guarded: secondary metric, never fails bench)
-    swin_ips = None
     try:
         from p2vit_tpu.models import SWIN_ZOO
         from p2vit_tpu.models import swin as swin_mod
@@ -168,70 +158,30 @@ def main():
         )
         scalib = swin_mod.calibrate(sparams, scfg, policy, sx[:8])
         ss = serving_swin.convert(sparams, scalib.qstate, scfg, policy, 8)
-        swin_fn = jax.jit(
-            lambda xx: serving_swin.serving_forward(
-                ss, scalib.qstate, scfg, policy, xx, use_pallas=on_accel
-            )
-        )
-        swin_ips = round(sbatch / _time_fn(swin_fn, sx), 2)
-        sparams_bf16 = jax.tree.map(
-            lambda a: a.astype(jnp.bfloat16), sparams
-        )
-        swin_fp_fn = jax.jit(
-            lambda xx: swin_mod.fp_forward(
-                sparams_bf16, scfg, xx.astype(jnp.bfloat16)
-            )
-        )
-        swin_bf16_ips = round(sbatch / _time_fn(swin_fp_fn, sx), 2)
-        swin_vs = round(swin_ips / swin_bf16_ips, 4)
+        t = _time_fn(
+            jax.jit(lambda xx: serving_swin.serving_forward(
+                ss, scalib.qstate, scfg, policy, xx, use_pallas=on_accel)), sx)
+        res["swin_tiny_img_s"] = round(sbatch / t, 2)
+        sparams_bf16 = jax.tree.map(lambda a: a.astype(jnp.bfloat16), sparams)
+        t_fp = _time_fn(
+            jax.jit(lambda xx: swin_mod.fp_forward(
+                sparams_bf16, scfg, xx.astype(jnp.bfloat16))), sx)
+        res["swin_tiny_bf16_img_s"] = round(sbatch / t_fp, 2)
+        res["swin_tiny_vs_baseline"] = round(t_fp / t, 4)
+        res["swin_batch"] = sbatch
     except Exception as e:  # pragma: no cover - hardware dependent
-        swin_ips = f"unavailable: {type(e).__name__}"
-        swin_bf16_ips = swin_vs = None
+        res["swin_tiny_img_s"] = f"unavailable: {type(e).__name__}"
 
-    ips_fp = batch / t_fp
-    ips_lis_off = batch / t_srv_fp
-    # headline = the best LIS-on serving variant (bit-identical paths)
-    lis_on_variants = {"two_step": batch / t_srv}
-    if t_srv_fused is not None:
-        lis_on_variants["fuse_qkv"] = batch / t_srv_fused
-    best_variant = max(lis_on_variants, key=lis_on_variants.get)
-    ips = lis_on_variants[best_variant]
     print(
         json.dumps(
             {
                 "metric": "DeiT-S W8A8-PoT int8 serving throughput (1 chip)",
-                "value": round(ips, 2),
+                "value": res["deit_small_lis_on_img_s"],
                 "unit": "img/s",
-                "vs_baseline": round(ips / ips_fp, 4),
-                "baseline_bf16_img_s": round(ips_fp, 2),
-                # first-class LIS pair for round-over-round perf tracking:
-                # lis_on = the reference default (Config(lis=True)),
-                # lis_off = the reference's fp-softmax variant
-                "lis_on_img_s": round(ips, 2),
-                "lis_on_vs_baseline": round(ips / ips_fp, 4),
-                "lis_on_variant": best_variant,
-                "lis_on_two_step_img_s": round(batch / t_srv, 2),
-                "lis_on_fuse_qkv_img_s": (
-                    round(batch / t_srv_fused, 2) if t_srv_fused else None
-                ),
-                "lis_off_img_s": round(
-                    max(ips_lis_off,
-                        batch / t_srv_fp_fused if t_srv_fp_fused else 0.0), 2
-                ),
-                "lis_off_vs_baseline": round(
-                    max(ips_lis_off,
-                        batch / t_srv_fp_fused if t_srv_fp_fused else 0.0)
-                    / ips_fp, 4
-                ),
-                "lis_off_fuse_qkv_img_s": (
-                    round(batch / t_srv_fp_fused, 2) if t_srv_fp_fused else None
-                ),
-                "sim_img_s": round(batch / t_sim, 2),
-                "swin_tiny_img_s": swin_ips,
-                "swin_tiny_bf16_img_s": swin_bf16_ips,
-                "swin_tiny_vs_baseline": swin_vs,
-                "calib_s_100img": calib_s,
-                "batch": batch,
+                "vs_baseline": res["deit_small_lis_on_vs_baseline"],
+                "baseline_bf16_img_s": res["deit_small_bf16_img_s"],
+                **res,
+                "batch": res["deit_small_batch"],
                 "platform": jax.devices()[0].platform,
             }
         )

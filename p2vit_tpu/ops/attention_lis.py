@@ -204,38 +204,13 @@ def _fused_kernel(
 ):
     """Per-image step: q/k/v head slices are STATIC offsets into the fused
     (N, 3C) qkv panel, so no head-split/merge transposes ever materialize in
-    HBM; the per-head attention loop unrolls inside the kernel."""
+    HBM; the per-head attention loop unrolls inside the kernel (shared with
+    the qkv-fused and whole-layer kernels via heads_attention)."""
     rq, s_attn, ro = s_ref[0, 0], s_ref[0, 1], s_ref[0, 2]
-    outs = []
-    for h in range(num_heads):
-        qm = qkv_ref[0, :, h * d : (h + 1) * d]
-        km = qkv_ref[0, :, c + h * d : c + (h + 1) * d]
-        vm = qkv_ref[0, :, 2 * c + h * d : 2 * c + (h + 1) * d]
-        acc = jax.lax.dot_general(
-            qm, km, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32,
-            precision=jax.lax.Precision.DEFAULT,  # int dot: see _kernel
-        )
-        attn_c = jnp.clip(jnp.round(acc.astype(jnp.float32) * rq), qmin, qmax)
-        col = jax.lax.broadcasted_iota(jnp.int32, attn_c.shape, 1)
-        attn_c = jnp.where(col < n_valid, attn_c, jnp.float32(qmin))
-        if lis:
-            attn_pot = _lis_from_scores(attn_c, s_attn, col, n_valid, lis_bits)
-        else:
-            attn_pot = _fp_softmax_from_scores(attn_c, s_attn, col, n_valid)
-        av = jax.lax.dot_general(
-            attn_pot,
-            vm.astype(jnp.float32),
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            # lis=True: attn is 2^-q and v is int8 codes — both exact in
-            # bf16, so the single bf16 MXU pass is bit-identical to fp32
-            # (see _kernel) and ~3x faster. lis=False: attn is a general
-            # f32 softmax — keep the fp32 contract for exactness.
-            precision=(jax.lax.Precision.DEFAULT if lis
-                       else jax.lax.Precision.HIGHEST),
-        )
-        outs.append(jnp.clip(jnp.round(av * ro), qmin, qmax).astype(jnp.int8))
-    o_ref[0] = jnp.concatenate(outs, axis=-1)
+    o_ref[:] = heads_attention(
+        qkv_ref[:], rq, s_attn, ro, n_valid=n_valid, lis_bits=lis_bits,
+        qmin=qmin, qmax=qmax, c=c, d=d, num_heads=num_heads, lis=lis,
+    )
 
 
 @functools.partial(
@@ -323,13 +298,30 @@ def _qkv_fused_kernel(
     qkv = jnp.clip(
         jnp.round(acc.astype(jnp.float32) * r_ref[:] + b_ref[:]), qmin, qmax
     ).astype(jnp.int8).reshape(g, nfull, 3 * c)
+    o_ref[:] = heads_attention(
+        qkv, rq, s_attn, ro, n_valid=n_valid, lis_bits=lis_bits, qmin=qmin,
+        qmax=qmax, c=c, d=d, num_heads=num_heads, lis=lis,
+    )
 
-    # per-head rolled loop. (A staged schedule — all q@kᵀ dots, then all
-    # softmax chains, then all attn@v — was A/B'd 2026-08-16 hoping Mosaic
-    # would overlap MXU dots with the VPU-bound chains: no speedup at g=4
-    # and a VMEM compile failure at g=8 from 12 live (G,N,N) f32 buffers.
-    # Mosaic serializes MXU/VPU either way; the rolled loop keeps ≤2 score
-    # buffers live.)
+
+def heads_attention(qkv, rq, s_attn, ro, *, n_valid, lis_bits, qmin, qmax, c,
+                    d, num_heads, lis):
+    """Per-head attention over a (G, N, 3C) int8 qkv panel → (G, N, C) int8.
+
+    Shared by the qkv-fused attention kernel and the whole-layer fused
+    kernel (ops/layer_fused.py). Rolled per-head loop: a staged schedule —
+    all q@kᵀ dots, then all softmax chains, then all attn@v — was A/B'd
+    2026-08-16 hoping Mosaic would overlap MXU dots with the VPU-bound
+    chains: no speedup at g=4 and a VMEM compile failure at g=8 from 12
+    live (G,N,N) f32 buffers. Mosaic serializes MXU/VPU either way; the
+    rolled loop keeps ≤2 score buffers live."""
+    g, nfull, _ = qkv.shape
+    # rows only need f32-sublane alignment (8) for the score chain — the
+    # int8 panel is 32-row padded (197→224) but the VPU softmax chain and
+    # the av dot can run on just ceil(n_valid/8)·8 rows (197→200), trimming
+    # ~11% off every elementwise pass; the dropped rows are pad garbage the
+    # caller slices off, re-zeroed here for the int8 store.
+    nr = min(-(-n_valid // 8) * 8, nfull)
     outs = []
     for h in range(num_heads):
         qm = qkv[:, :, h * d : (h + 1) * d]
@@ -339,7 +331,7 @@ def _qkv_fused_kernel(
             qm, km, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.int32,
             precision=jax.lax.Precision.DEFAULT,  # int dot: see _kernel
-        )  # (G, N, N)
+        )[:, :nr, :]  # (G, NR, N)
         attn_c = jnp.clip(jnp.round(acc2.astype(jnp.float32) * rq), qmin, qmax)
         col = jax.lax.broadcasted_iota(jnp.int32, attn_c.shape, 2)
         attn_c = jnp.where(col < n_valid, attn_c, jnp.float32(qmin))
@@ -353,8 +345,13 @@ def _qkv_fused_kernel(
             precision=(jax.lax.Precision.DEFAULT if lis
                        else jax.lax.Precision.HIGHEST),  # see _fused_kernel
         )
-        outs.append(jnp.clip(jnp.round(av * ro), qmin, qmax).astype(jnp.int8))
-    o_ref[:] = jnp.concatenate(outs, axis=-1)
+        out = jnp.clip(jnp.round(av * ro), qmin, qmax)
+        if nr < nfull:
+            out = jnp.concatenate(
+                [out, jnp.zeros((g, nfull - nr, d), jnp.float32)], axis=1
+            )
+        outs.append(out.astype(jnp.int8))
+    return jnp.concatenate(outs, axis=-1)
 
 
 @functools.partial(
@@ -457,6 +454,10 @@ def _swin_kernel(
     softmax → @v → qact3 codes.
     """
     rq, s1, inv_s2, ro = s_ref[0, 0], s_ref[0, 1], s_ref[0, 2], s_ref[0, 3]
+    g, nfull, _ = qkv_ref.shape
+    # f32 chain on 8-aligned rows only (49→56 instead of 64 for 7×7
+    # windows, −12.5% VPU); pad-row outputs re-zeroed — see heads_attention
+    nr = min(-(-n_valid // 8) * 8, nfull)
     outs = []
     for h in range(num_heads):
         qm = qkv_ref[:, :, h * d : (h + 1) * d]
@@ -466,13 +467,14 @@ def _swin_kernel(
             qm, km, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.int32,
             precision=jax.lax.Precision.DEFAULT,  # int dot: see _kernel
-        )  # (G, N, N)
+        )[:, :nr, :]  # (G, NR, N)
         attn_c = jnp.clip(jnp.round(acc.astype(jnp.float32) * rq), qmin, qmax)
         attn2 = jnp.clip(
-            jnp.round((attn_c * s1 + bias_ref[h][None]) * inv_s2), qmin, qmax
+            jnp.round((attn_c * s1 + bias_ref[h][None, :nr, :]) * inv_s2),
+            qmin, qmax,
         )
         if has_mask:
-            attn2 = attn2 + mask_ref[...]
+            attn2 = attn2 + mask_ref[:, :nr, :]
         col = jax.lax.broadcasted_iota(jnp.int32, attn2.shape, 2)
         # park padded key columns so they can't win the row max
         attn2 = jnp.where(col < n_valid, attn2, jnp.float32(-(2.0**30)))
@@ -489,8 +491,13 @@ def _swin_kernel(
             preferred_element_type=jnp.float32,
             precision=(jax.lax.Precision.DEFAULT if lis
                        else jax.lax.Precision.HIGHEST),  # see _fused_kernel
-        )  # (G, N, d)
-        outs.append(jnp.clip(jnp.round(av * ro), qmin, qmax).astype(jnp.int8))
+        )  # (G, NR, d)
+        out = jnp.clip(jnp.round(av * ro), qmin, qmax)
+        if nr < nfull:
+            out = jnp.concatenate(
+                [out, jnp.zeros((g, nfull - nr, d), jnp.float32)], axis=1
+            )
+        outs.append(out.astype(jnp.int8))
     o_ref[...] = jnp.concatenate(outs, axis=-1)
 
 

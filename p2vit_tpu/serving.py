@@ -45,6 +45,7 @@ from .ops.matmul_int8 import (
     int8_matmul_requant_res_ref,
 )
 from .ops.intln import ln_mn_chain
+from .ops.layer_fused import fused_vit_layer
 from .ops.matmul_ln import int8_matmul_res_ln, int8_matmul_res_ln_ref
 
 _I8 = (-128, 127)
@@ -205,11 +206,13 @@ def _requant_add(c_a, s_a, c_b, s_b, s_out):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "interpret", "use_pallas", "lis", "fuse_qkv")
+    jax.jit,
+    static_argnames=("cfg", "interpret", "use_pallas", "lis", "fuse_qkv",
+                     "fuse_layer"),
 )
 def serving_forward(s, cfg: ViTConfig, x, interpret: bool = False,
                     use_pallas: bool = True, lis: bool = True,
-                    fuse_qkv: bool = True):
+                    fuse_qkv: bool = True, fuse_layer: bool = False):
     """Run the int8 pipeline on a f32 image batch; returns f32 logits.
 
     ``lis``: Log-Int-Softmax on (the reference default) or the LIS-off fp
@@ -219,6 +222,10 @@ def serving_forward(s, cfg: ViTConfig, x, interpret: bool = False,
     (bit-identical; saves the HBM round trip of the (B,N,3C) qkv codes).
     Default ON: the on-chip A/B (tools/ab_tpu.py, 2026-08-16) measured
     5554 vs 5322 img/s on DeiT-S batch 256.
+    ``fuse_layer``: run each encoder layer as ONE Pallas kernel
+    (ops/layer_fused.py) — bit-identical to the four-kernel pipeline, and
+    ~4× less int8 HBM boundary traffic (the measured bottleneck; see the
+    module docstring there). Takes precedence over ``fuse_qkv``.
     """
     mm = int8_matmul_requant if use_pallas else int8_matmul_requant_ref
     mm_res_ln = int8_matmul_res_ln if use_pallas else int8_matmul_res_ln_ref
@@ -256,6 +263,95 @@ def serving_forward(s, cfg: ViTConfig, x, interpret: bool = False,
         qkv0["s_act"] * qkv0["cs"], 1.0,
     )
     n_blocks = len(s["blocks"])
+    if use_pallas and fuse_layer:
+        # whole layer in one kernel (ops/layer_fused.py); the per-junction
+        # requant constants are exactly the four-kernel pipeline's (see the
+        # branches below). lax.scan over stacked per-layer constants: every
+        # layer is the same kernel shape, so Mosaic compiles it ONCE instead
+        # of 12 times (a 378 s → ~35 s serving compile on the tunnel).
+        def _lnn(bi):
+            """The LN fused after this layer's fc2: next block's LN1, or the
+            final encoder norm after the last block."""
+            if bi + 1 < n_blocks:
+                nb = s["blocks"][bi + 1]
+                nqkv = nb["qkv"]
+                return (nb["norm1_w"], nb["norm1_b"],
+                        nqkv["s_act"] * nqkv["cs"], 1.0)
+            return s["norm_w"], s["norm_b"], s["s_qact2"], 1.0
+
+        c_v = cfg.embed_dim
+        hid = s["blocks"][0]["mlp_fc1"]["w_q"].shape[0]
+
+        def _stk(fn, shape):
+            return jnp.stack(
+                [
+                    jnp.broadcast_to(
+                        jnp.asarray(fn(bi, s["blocks"][bi]), jnp.float32),
+                        shape,
+                    )
+                    for bi in range(n_blocks)
+                ]
+            )
+
+        sprevs = [s["s_qact1"]] + [sb["s_res2"] for sb in s["blocks"][:-1]]
+        layers = (
+            jnp.stack([sb["qkv"]["w_q"] for sb in s["blocks"]]),
+            _stk(lambda i, sb: sb["qkv"]["s_act"] * sb["qkv"]["sw"] / sb["s_qact1"], (3 * c_v,)),
+            _stk(lambda i, sb: sb["qkv"]["bias"] / sb["s_qact1"], (3 * c_v,)),
+            _stk(lambda i, sb: sb["s_qact1"] ** 2 * cfg.attn_scale / sb["s_attn1"], ()),
+            _stk(lambda i, sb: sb["s_attn1"], ()),
+            _stk(lambda i, sb: sb["s_qact1"] / sb["s_qact2a"], ()),
+            jnp.stack([sb["proj"]["w_q"] for sb in s["blocks"]]),
+            _stk(lambda i, sb: sb["s_qact2a"] * sb["proj"]["sw"] / sb["s_qact3"], (c_v,)),
+            _stk(lambda i, sb: sb["proj"]["bias"] / sb["s_qact3"], (c_v,)),
+            _stk(lambda i, sb: sb["s_qact3"], (c_v,)),
+            _stk(lambda i, sb: sprevs[i], (c_v,)),
+            _stk(lambda i, sb: sb["s_res1"], (c_v,)),
+            _stk(lambda i, sb: sb["norm2_w"], (c_v,)),
+            _stk(lambda i, sb: sb["norm2_b"], (c_v,)),
+            _stk(lambda i, sb: sb["mlp_fc1"]["s_act"] * sb["norm2_cs"], (c_v,)),
+            _stk(lambda i, sb: sb["norm2_ratio"], (c_v,)),
+            jnp.stack([sb["mlp_fc1"]["w_q"] for sb in s["blocks"]]),
+            _stk(lambda i, sb: sb["mlp_fc1"]["s_act"] * sb["mlp_fc1"]["sw"], (hid,)),
+            _stk(lambda i, sb: sb["mlp_fc1"]["bias"], (hid,)),
+            _stk(lambda i, sb: 1.0 / sb["s_mq1"], ()),
+            jnp.stack([sb["fc2"]["w_q"] for sb in s["blocks"]]),
+            _stk(lambda i, sb: sb["s_mq1"] * sb["fc2"]["sw"] / sb["s_mq2"], (c_v,)),
+            _stk(lambda i, sb: sb["fc2"]["bias"] / sb["s_mq2"], (c_v,)),
+            _stk(lambda i, sb: sb["s_mq2"], (c_v,)),
+            _stk(lambda i, sb: sb["s_res2"], (c_v,)),
+            _stk(lambda i, sb: _lnn(i)[0], (c_v,)),
+            _stk(lambda i, sb: _lnn(i)[1], (c_v,)),
+            _stk(lambda i, sb: _lnn(i)[2], (c_v,)),
+            _stk(lambda i, sb: _lnn(i)[3], (c_v,)),
+        )
+
+        def body(carry, layer):
+            hh, xx = carry
+            (w_qkv, qr, qb, srq, sat, oro, w_proj, prr, prb, smid, sprev,
+             sres1, ln2w, ln2b, ln2o, ln2r, w_fc1, f1r, f1b, f1inv, w_fc2,
+             f2r, f2b, smid2, sres2, lnnw, lnnb, lnno, lnnr) = layer
+            hh, xx = fused_vit_layer(
+                hh, xx, w_qkv, qr, qb, cfg.num_heads, srq, sat, oro,
+                w_proj, prr, prb, smid, sprev, sres1, ln2w, ln2b, ln2o, ln2r,
+                w_fc1, f1r, f1b, f1inv, w_fc2, f2r, f2b, smid2, sres2,
+                lnnw, lnnb, lnno, lnnr,
+                lis=lis, interpret=interpret,
+            )
+            return (hh, xx), None
+
+        (h, xc), _ = jax.lax.scan(body, (h, xc), layers)
+        xc2 = h[:, 0]
+        hd2 = s["head"]
+        logits_c = mm(
+            xc2,
+            hd2["w_q"],
+            s["s_qact2"] * hd2["sw"] / s["s_out"],
+            hd2["bias"] / s["s_out"],
+            **mm_kw,
+        )
+        return logits_c.astype(jnp.float32) * s["s_out"]
+
     for bi, sb in enumerate(s["blocks"]):
         qkv = sb["qkv"]
         if use_pallas and fuse_qkv:

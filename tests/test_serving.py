@@ -141,10 +141,32 @@ def test_serving_forward_fuse_qkv_bit_identical():
                          [8] * TINY.num_matmuls)
     base = np.asarray(
         serving.serving_forward(ss, TINY, x, use_pallas=True, interpret=True,
-                                fuse_qkv=False)
+                                fuse_qkv=False, fuse_layer=False)
     )
     fused = np.asarray(
         serving.serving_forward(ss, TINY, x, use_pallas=True, interpret=True,
-                                fuse_qkv=True)
+                                fuse_qkv=True, fuse_layer=False)
+    )
+    np.testing.assert_array_equal(base, fused)
+
+
+@pytest.mark.parametrize("lis", [True, False])
+def test_serving_forward_fused_layer_bit_identical(lis):
+    """The one-kernel-per-layer path (ops/layer_fused.py) equals the
+    four-kernel pipeline bitwise end to end (interpret mode), LIS on/off
+    and under a mixed bit config."""
+    policy = make_policy()
+    params = vit.init_params(jax.random.PRNGKey(3), TINY)
+    x = jax.random.normal(jax.random.PRNGKey(4), (3, 3, 32, 32))
+    calib = vit.calibrate(params, TINY, policy, x)
+    n = TINY.num_matmuls
+    ss = serving.convert(params, calib.qstate, TINY, policy, ([8, 4] * n)[:n])
+    base = np.asarray(
+        serving.serving_forward(ss, TINY, x, use_pallas=True, interpret=True,
+                                lis=lis, fuse_layer=False)
+    )
+    fused = np.asarray(
+        serving.serving_forward(ss, TINY, x, use_pallas=True, interpret=True,
+                                lis=lis, fuse_layer=True)
     )
     np.testing.assert_array_equal(base, fused)

@@ -36,7 +36,8 @@ from p2vit_tpu.profiling import device_time
 RESULTS: dict = {}
 
 
-def _t(fn, x, iters=10, repeats=3):
+def _t(fn, x, iters=20, repeats=3):
+    # iters ≥ 20: the tunnel adds ~30 ms fixed overhead per timed run
     return device_time(fn, x, iters=iters, repeats=repeats)
 
 
@@ -53,28 +54,30 @@ def section_vit():
     f_bf16 = jax.jit(lambda xx: vit.fp_forward(pbf16, cfg, xx.astype(jnp.bfloat16)))
     variants = {
         "bf16_xla": f_bf16,
+        # defaults: fuse_qkv=True, fuse_layer=False (the A/B winners)
         "int8_lis_on": jax.jit(
             lambda xx: serving.serving_forward(sst, cfg, xx, use_pallas=True)
         ),
-        "int8_lis_on_fuse_qkv": jax.jit(
+        "int8_lis_on_two_step": jax.jit(
             lambda xx: serving.serving_forward(
-                sst, cfg, xx, use_pallas=True, fuse_qkv=True
+                sst, cfg, xx, use_pallas=True, fuse_qkv=False
+            )
+        ),
+        "int8_lis_on_fuse_layer": jax.jit(
+            lambda xx: serving.serving_forward(
+                sst, cfg, xx, use_pallas=True, fuse_layer=True
             )
         ),
         "int8_lis_off": jax.jit(
             lambda xx: serving.serving_forward(sst, cfg, xx, use_pallas=True, lis=False)
         ),
-        "int8_lis_off_fuse_qkv": jax.jit(
-            lambda xx: serving.serving_forward(
-                sst, cfg, xx, use_pallas=True, lis=False, fuse_qkv=True
-            )
-        ),
     }
     # parity spot check before timing
     a = np.asarray(variants["int8_lis_on"](x[:8]))
-    b = np.asarray(variants["int8_lis_on_fuse_qkv"](x[:8]))
-    assert (a == b).all(), "fuse_qkv must be bit-identical"
-    print("fuse_qkv parity on chip: bit-identical")
+    for other in ("int8_lis_on_two_step", "int8_lis_on_fuse_layer"):
+        b = np.asarray(variants[other](x[:8]))
+        assert (a == b).all(), f"{other} must be bit-identical"
+    print("fuse_qkv / fuse_layer parity on chip: bit-identical")
     for name, fn in variants.items():
         ips = batch / _t(fn, x)
         RESULTS[f"vit_{name}_img_s"] = round(ips, 1)

@@ -205,6 +205,137 @@ def _requant_add(c_a, s_a, c_b, s_b, s_out):
     return jnp.clip(jnp.round(val / s_out), *_I8).astype(jnp.int8)
 
 
+def stack_layer_consts(s, cfg: ViTConfig):
+    """Stack every per-layer constant of the fused-layer kernel along a
+    leading depth axis (for lax.scan in serving_forward, and for
+    stage-sharding in parallel/pipeline.py). Tuple order matches
+    ``apply_fused_layer``'s unpack."""
+    n_blocks = len(s["blocks"])
+
+    def _lnn(bi):
+        """The LN fused after this layer's fc2: next block's LN1, or the
+        final encoder norm after the last block."""
+        if bi + 1 < n_blocks:
+            nb = s["blocks"][bi + 1]
+            nqkv = nb["qkv"]
+            return (nb["norm1_w"], nb["norm1_b"],
+                    nqkv["s_act"] * nqkv["cs"], 1.0)
+        return s["norm_w"], s["norm_b"], s["s_qact2"], 1.0
+
+    c_v = cfg.embed_dim
+    hid = s["blocks"][0]["mlp_fc1"]["w_q"].shape[0]
+
+    def _stk(fn, shape):
+        return jnp.stack(
+            [
+                jnp.broadcast_to(
+                    jnp.asarray(fn(bi, s["blocks"][bi]), jnp.float32), shape
+                )
+                for bi in range(n_blocks)
+            ]
+        )
+
+    sprevs = [s["s_qact1"]] + [sb["s_res2"] for sb in s["blocks"][:-1]]
+    return (
+        jnp.stack([sb["qkv"]["w_q"] for sb in s["blocks"]]),
+        _stk(lambda i, sb: sb["qkv"]["s_act"] * sb["qkv"]["sw"] / sb["s_qact1"], (3 * c_v,)),
+        _stk(lambda i, sb: sb["qkv"]["bias"] / sb["s_qact1"], (3 * c_v,)),
+        _stk(lambda i, sb: sb["s_qact1"] ** 2 * cfg.attn_scale / sb["s_attn1"], ()),
+        _stk(lambda i, sb: sb["s_attn1"], ()),
+        _stk(lambda i, sb: sb["s_qact1"] / sb["s_qact2a"], ()),
+        jnp.stack([sb["proj"]["w_q"] for sb in s["blocks"]]),
+        _stk(lambda i, sb: sb["s_qact2a"] * sb["proj"]["sw"] / sb["s_qact3"], (c_v,)),
+        _stk(lambda i, sb: sb["proj"]["bias"] / sb["s_qact3"], (c_v,)),
+        _stk(lambda i, sb: sb["s_qact3"], (c_v,)),
+        _stk(lambda i, sb: sprevs[i], (c_v,)),
+        _stk(lambda i, sb: sb["s_res1"], (c_v,)),
+        _stk(lambda i, sb: sb["norm2_w"], (c_v,)),
+        _stk(lambda i, sb: sb["norm2_b"], (c_v,)),
+        _stk(lambda i, sb: sb["mlp_fc1"]["s_act"] * sb["norm2_cs"], (c_v,)),
+        _stk(lambda i, sb: sb["norm2_ratio"], (c_v,)),
+        jnp.stack([sb["mlp_fc1"]["w_q"] for sb in s["blocks"]]),
+        _stk(lambda i, sb: sb["mlp_fc1"]["s_act"] * sb["mlp_fc1"]["sw"], (hid,)),
+        _stk(lambda i, sb: sb["mlp_fc1"]["bias"], (hid,)),
+        _stk(lambda i, sb: 1.0 / sb["s_mq1"], ()),
+        jnp.stack([sb["fc2"]["w_q"] for sb in s["blocks"]]),
+        _stk(lambda i, sb: sb["s_mq1"] * sb["fc2"]["sw"] / sb["s_mq2"], (c_v,)),
+        _stk(lambda i, sb: sb["fc2"]["bias"] / sb["s_mq2"], (c_v,)),
+        _stk(lambda i, sb: sb["s_mq2"], (c_v,)),
+        _stk(lambda i, sb: sb["s_res2"], (c_v,)),
+        _stk(lambda i, sb: _lnn(i)[0], (c_v,)),
+        _stk(lambda i, sb: _lnn(i)[1], (c_v,)),
+        _stk(lambda i, sb: _lnn(i)[2], (c_v,)),
+        _stk(lambda i, sb: _lnn(i)[3], (c_v,)),
+    )
+
+
+def embed_codes(s, cfg: ViTConfig, x, use_pallas: bool = True,
+                interpret: bool = False):
+    """The serving prologue: image → patch conv → [cls; patches] + pos →
+    qact1 codes (``xc``), plus block 0's standalone int-LN1 output (``h``).
+    Every later LN is fused into the matmul producing its input."""
+    mm = int8_matmul_requant if use_pallas else int8_matmul_requant_ref
+    mm_kw = {"interpret": interpret} if use_pallas else {}
+    iln = functools.partial(_int_ln_codes, use_pallas=use_pallas,
+                            interpret=interpret)
+    b = x.shape[0]
+    c = cfg.embed_dim
+    c0 = jnp.clip(jnp.round(x / s["s_input"]), *_I8).astype(jnp.int8)
+    patches = extract_patches(c0, cfg.patch_size)  # int8 codes, reordered only
+
+    p = s["patch"]
+    c1 = mm(
+        patches.reshape(-1, patches.shape[-1]),
+        p["w_q"],
+        s["s_input"] * p["sw"] / p["s_out"],
+        p["bias"] / p["s_out"],
+        **mm_kw,
+    ).reshape(b, -1, c)
+
+    # [cls; patches] at the embed scale, + positional codes, → qact1 codes
+    c_cls = jnp.broadcast_to(s["cls_codes"], (b, 1, c))
+    c1 = jnp.clip(jnp.round(c1.astype(jnp.float32) * (p["s_out"] / s["s_embed"])), *_I8)
+    xc = jnp.concatenate([c_cls.astype(jnp.float32), c1], axis=1)
+    val = xc * s["s_embed"] + s["pos_codes"] * s["s_pos"]
+    xc = jnp.clip(jnp.round(val / s["s_qact1"]), *_I8).astype(jnp.int8)
+
+    qkv0 = s["blocks"][0]["qkv"]
+    h = iln(
+        xc, s["s_qact1"], s["blocks"][0]["norm1_w"], s["blocks"][0]["norm1_b"],
+        qkv0["s_act"] * qkv0["cs"], 1.0,
+    )
+    return h, xc
+
+
+def head_logits(s, h, use_pallas: bool = True, interpret: bool = False):
+    """The serving epilogue: final-norm codes (h[:, 0]) → head → f32 logits."""
+    mm = int8_matmul_requant if use_pallas else int8_matmul_requant_ref
+    mm_kw = {"interpret": interpret} if use_pallas else {}
+    hd = s["head"]
+    logits_c = mm(
+        h[:, 0],
+        hd["w_q"],
+        s["s_qact2"] * hd["sw"] / s["s_out"],
+        hd["bias"] / s["s_out"],
+        **mm_kw,
+    )
+    return logits_c.astype(jnp.float32) * s["s_out"]
+
+
+def apply_fused_layer(cfg: ViTConfig, layer, h, xc, lis=True, interpret=False):
+    """Run ONE encoder layer on codes from a stack_layer_consts slice."""
+    (w_qkv, qr, qb, srq, sat, oro, w_proj, prr, prb, smid, sprev,
+     sres1, ln2w, ln2b, ln2o, ln2r, w_fc1, f1r, f1b, f1inv, w_fc2,
+     f2r, f2b, smid2, sres2, lnnw, lnnb, lnno, lnnr) = layer
+    return fused_vit_layer(
+        h, xc, w_qkv, qr, qb, cfg.num_heads, srq, sat, oro,
+        w_proj, prr, prb, smid, sprev, sres1, ln2w, ln2b, ln2o, ln2r,
+        w_fc1, f1r, f1b, f1inv, w_fc2, f2r, f2b, smid2, sres2,
+        lnnw, lnnb, lnno, lnnr,
+        lis=lis, interpret=interpret,
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "interpret", "use_pallas", "lis", "fuse_qkv",
@@ -235,33 +366,8 @@ def serving_forward(s, cfg: ViTConfig, x, interpret: bool = False,
     b = x.shape[0]
     c = cfg.embed_dim
     n_tok = cfg.seq_len
-    c0 = jnp.clip(jnp.round(x / s["s_input"]), *_I8).astype(jnp.int8)
-    patches = extract_patches(c0, cfg.patch_size)  # int8 codes, reordered only
-
-    p = s["patch"]
-    c1 = mm(
-        patches.reshape(-1, patches.shape[-1]),
-        p["w_q"],
-        s["s_input"] * p["sw"] / p["s_out"],
-        p["bias"] / p["s_out"],
-        **mm_kw,
-    ).reshape(b, -1, c)
-
-    # [cls; patches] at the embed scale, + positional codes, → qact1 codes
-    c_cls = jnp.broadcast_to(s["cls_codes"], (b, 1, c))
-    c1 = jnp.clip(jnp.round(c1.astype(jnp.float32) * (p["s_out"] / s["s_embed"])), *_I8)
-    xc = jnp.concatenate([c_cls.astype(jnp.float32), c1], axis=1)
-    val = xc * s["s_embed"] + s["pos_codes"] * s["s_pos"]
-    xc = jnp.clip(jnp.round(val / s["s_qact1"]), *_I8).astype(jnp.int8)
-
+    h, xc = embed_codes(s, cfg, x, use_pallas=use_pallas, interpret=interpret)
     s_prev = s["s_qact1"]
-    # block 0's LN1 is standalone; every later LN is fused into the matmul
-    # that produces its input (proj+res+LN2, fc2+res+LN1-of-next-block)
-    qkv0 = s["blocks"][0]["qkv"]
-    h = iln(
-        xc, s_prev, s["blocks"][0]["norm1_w"], s["blocks"][0]["norm1_b"],
-        qkv0["s_act"] * qkv0["cs"], 1.0,
-    )
     n_blocks = len(s["blocks"])
     if use_pallas and fuse_layer:
         # whole layer in one kernel (ops/layer_fused.py); the per-junction
@@ -269,90 +375,18 @@ def serving_forward(s, cfg: ViTConfig, x, interpret: bool = False,
         # branches below). lax.scan over stacked per-layer constants: every
         # layer is the same kernel shape, so Mosaic compiles it ONCE instead
         # of 12 times (a 378 s → ~35 s serving compile on the tunnel).
-        def _lnn(bi):
-            """The LN fused after this layer's fc2: next block's LN1, or the
-            final encoder norm after the last block."""
-            if bi + 1 < n_blocks:
-                nb = s["blocks"][bi + 1]
-                nqkv = nb["qkv"]
-                return (nb["norm1_w"], nb["norm1_b"],
-                        nqkv["s_act"] * nqkv["cs"], 1.0)
-            return s["norm_w"], s["norm_b"], s["s_qact2"], 1.0
-
-        c_v = cfg.embed_dim
-        hid = s["blocks"][0]["mlp_fc1"]["w_q"].shape[0]
-
-        def _stk(fn, shape):
-            return jnp.stack(
-                [
-                    jnp.broadcast_to(
-                        jnp.asarray(fn(bi, s["blocks"][bi]), jnp.float32),
-                        shape,
-                    )
-                    for bi in range(n_blocks)
-                ]
-            )
-
-        sprevs = [s["s_qact1"]] + [sb["s_res2"] for sb in s["blocks"][:-1]]
-        layers = (
-            jnp.stack([sb["qkv"]["w_q"] for sb in s["blocks"]]),
-            _stk(lambda i, sb: sb["qkv"]["s_act"] * sb["qkv"]["sw"] / sb["s_qact1"], (3 * c_v,)),
-            _stk(lambda i, sb: sb["qkv"]["bias"] / sb["s_qact1"], (3 * c_v,)),
-            _stk(lambda i, sb: sb["s_qact1"] ** 2 * cfg.attn_scale / sb["s_attn1"], ()),
-            _stk(lambda i, sb: sb["s_attn1"], ()),
-            _stk(lambda i, sb: sb["s_qact1"] / sb["s_qact2a"], ()),
-            jnp.stack([sb["proj"]["w_q"] for sb in s["blocks"]]),
-            _stk(lambda i, sb: sb["s_qact2a"] * sb["proj"]["sw"] / sb["s_qact3"], (c_v,)),
-            _stk(lambda i, sb: sb["proj"]["bias"] / sb["s_qact3"], (c_v,)),
-            _stk(lambda i, sb: sb["s_qact3"], (c_v,)),
-            _stk(lambda i, sb: sprevs[i], (c_v,)),
-            _stk(lambda i, sb: sb["s_res1"], (c_v,)),
-            _stk(lambda i, sb: sb["norm2_w"], (c_v,)),
-            _stk(lambda i, sb: sb["norm2_b"], (c_v,)),
-            _stk(lambda i, sb: sb["mlp_fc1"]["s_act"] * sb["norm2_cs"], (c_v,)),
-            _stk(lambda i, sb: sb["norm2_ratio"], (c_v,)),
-            jnp.stack([sb["mlp_fc1"]["w_q"] for sb in s["blocks"]]),
-            _stk(lambda i, sb: sb["mlp_fc1"]["s_act"] * sb["mlp_fc1"]["sw"], (hid,)),
-            _stk(lambda i, sb: sb["mlp_fc1"]["bias"], (hid,)),
-            _stk(lambda i, sb: 1.0 / sb["s_mq1"], ()),
-            jnp.stack([sb["fc2"]["w_q"] for sb in s["blocks"]]),
-            _stk(lambda i, sb: sb["s_mq1"] * sb["fc2"]["sw"] / sb["s_mq2"], (c_v,)),
-            _stk(lambda i, sb: sb["fc2"]["bias"] / sb["s_mq2"], (c_v,)),
-            _stk(lambda i, sb: sb["s_mq2"], (c_v,)),
-            _stk(lambda i, sb: sb["s_res2"], (c_v,)),
-            _stk(lambda i, sb: _lnn(i)[0], (c_v,)),
-            _stk(lambda i, sb: _lnn(i)[1], (c_v,)),
-            _stk(lambda i, sb: _lnn(i)[2], (c_v,)),
-            _stk(lambda i, sb: _lnn(i)[3], (c_v,)),
-        )
+        layers = stack_layer_consts(s, cfg)
 
         def body(carry, layer):
-            hh, xx = carry
-            (w_qkv, qr, qb, srq, sat, oro, w_proj, prr, prb, smid, sprev,
-             sres1, ln2w, ln2b, ln2o, ln2r, w_fc1, f1r, f1b, f1inv, w_fc2,
-             f2r, f2b, smid2, sres2, lnnw, lnnb, lnno, lnnr) = layer
-            hh, xx = fused_vit_layer(
-                hh, xx, w_qkv, qr, qb, cfg.num_heads, srq, sat, oro,
-                w_proj, prr, prb, smid, sprev, sres1, ln2w, ln2b, ln2o, ln2r,
-                w_fc1, f1r, f1b, f1inv, w_fc2, f2r, f2b, smid2, sres2,
-                lnnw, lnnb, lnno, lnnr,
-                lis=lis, interpret=interpret,
-            )
-            return (hh, xx), None
+            return apply_fused_layer(cfg, layer, *carry, lis=lis,
+                                     interpret=interpret), None
 
         (h, xc), _ = jax.lax.scan(body, (h, xc), layers)
-        xc2 = h[:, 0]
-        hd2 = s["head"]
-        logits_c = mm(
-            xc2,
-            hd2["w_q"],
-            s["s_qact2"] * hd2["sw"] / s["s_out"],
-            hd2["bias"] / s["s_out"],
-            **mm_kw,
-        )
-        return logits_c.astype(jnp.float32) * s["s_out"]
+        blocks_iter = []  # fall through to the shared head/tail below
+    else:
+        blocks_iter = list(enumerate(s["blocks"]))
 
-    for bi, sb in enumerate(s["blocks"]):
+    for bi, sb in blocks_iter:
         qkv = sb["qkv"]
         if use_pallas and fuse_qkv:
             # qkv projection inside the attention kernel: the (B,N,3C)
@@ -460,13 +494,5 @@ def serving_forward(s, cfg: ViTConfig, x, interpret: bool = False,
         h = h.reshape(b, n_tok, c)
         s_prev = sb["s_res2"]
 
-    xc = h[:, 0]  # the last fusion already produced the final-norm codes
-    hd = s["head"]
-    logits_c = mm(
-        xc,
-        hd["w_q"],
-        s["s_qact2"] * hd["sw"] / s["s_out"],
-        hd["bias"] / s["s_out"],
-        **mm_kw,
-    )
-    return logits_c.astype(jnp.float32) * s["s_out"]
+    # the last fusion already produced the final-norm codes
+    return head_logits(s, h, use_pallas=use_pallas, interpret=interpret)

@@ -128,3 +128,26 @@ def test_sharded_calibration_matches_single_device(calibrated):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-6, atol=0, err_msg=name
         )
+
+
+@pytest.mark.parametrize("n_micro", [1, 2, 4])
+def test_pipeline_serving_matches_single_device(calibrated, n_micro):
+    """GPipe-style pipeline over a ("stage",) mesh (parallel/pipeline.py)
+    reproduces the fused-layer serving bitwise: same fused kernel per
+    layer, only placement and microbatching differ (both are row/image
+    local)."""
+    from p2vit_tpu.parallel import pipeline as pp
+
+    policy, params, x, calib = calibrated
+    ss = serving.convert(params, calib.qstate, TINY, policy,
+                         [8] * TINY.num_matmuls)
+    single = np.asarray(
+        serving.serving_forward(ss, TINY, x, use_pallas=True, interpret=True,
+                                fuse_layer=True)
+    )
+    m = pp.make_pipeline_mesh(2)  # depth 2 -> one layer per stage
+    piped = np.asarray(
+        pp.pipeline_serving_forward(ss, TINY, x, m, n_micro=n_micro,
+                                    interpret=True)
+    )
+    np.testing.assert_array_equal(single, piped)

@@ -73,19 +73,17 @@ def _lis_from_scores(attn_c, s_attn, col, n_valid, lis_bits):
     # can only differ for softmax_out ≥ 2^19, which is masked to 0 either
     # way for lis_bits ≤ 4; proof in ops/fastmath.py)
     big = floor_log2i(softmax_out)
-    p = exp2i(big)
-    pinv = exp2i(-big)
-    # 2^-(big+tie): exact power-of-two halving; the 0..2^bits-1 clip of the
-    # naive form is redundant (big ≥ 0 since softmax_out = round(S/e) ≥ 1,
-    # and the overflow mask covers the top end).
-    # exp_int == 0 rows: softmax_out = inf → big = 128 → p = inf, pinv is
-    # garbage (-inf), tie = (inf-inf ≥ ·) = False, and big ≥ 2^bits masks
-    # the row to 0 — same as the reference's overflow.
-    tie = (softmax_out - p) >= p * 0.5
-    out = jnp.where(tie, 0.5 * pinv, pinv)
-    return jnp.where(
-        big + tie.astype(jnp.int32) >= 2**lis_bits, 0.0, out
-    )
+    # ties-up test as one exact comparison: s ≥ 1.5·2^big (1.5·2^big is
+    # exact; equals the reference's fl(s − 2^big) ≥ 2^(big-1) everywhere
+    # unmasked — they can only differ when s ≥ 2^24, where big ≥ 24 is
+    # masked to 0 by the overflow rule). Then 2^-(big+tie) is ONE exponent
+    # construction; no 0..2^bits-1 clip needed (big ≥ 0 since softmax_out =
+    # round(S/e) ≥ 1, and the mask covers the top end).
+    # exp_int == 0 rows: softmax_out = inf → big = 128 ≥ 2^bits → 0, same
+    # as the reference's overflow.
+    tie = softmax_out >= 1.5 * exp2i(big)
+    big = big + tie.astype(jnp.int32)
+    return jnp.where(big >= 2**lis_bits, 0.0, exp2i(-big))
 
 
 def _kernel(s_ref, q_ref, k_ref, v_ref, o_ref, *, n_valid, lis_bits, qmin, qmax):

@@ -50,11 +50,9 @@ def test_exp2i_exact():
 def _lis_tail_new(softmax_out, lis_bits):
     """The fastmath tail exactly as _lis_from_scores composes it."""
     big = floor_log2i(softmax_out)
-    p = exp2i(big)
-    pinv = exp2i(-big)
-    tie = (softmax_out - p) >= p * 0.5
-    out = jnp.where(tie, 0.5 * pinv, pinv)
-    return jnp.where(big + tie.astype(jnp.int32) >= 2**lis_bits, 0.0, out)
+    tie = softmax_out >= 1.5 * exp2i(big)
+    big = big + tie.astype(jnp.int32)
+    return jnp.where(big >= 2**lis_bits, 0.0, exp2i(-big))
 
 
 def _lis_tail_oracle(v, lis_bits):

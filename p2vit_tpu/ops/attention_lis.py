@@ -314,12 +314,7 @@ def heads_attention(qkv, rq, s_attn, ro, *, n_valid, lis_bits, qmin, qmax, c,
     live (G,N,N) f32 buffers. Mosaic serializes MXU/VPU either way; the
     rolled loop keeps ≤2 score buffers live."""
     g, nfull, _ = qkv.shape
-    # rows only need f32-sublane alignment (8) for the score chain — the
-    # int8 panel is 32-row padded (197→224) but the VPU softmax chain and
-    # the av dot can run on just ceil(n_valid/8)·8 rows (197→200), trimming
-    # ~11% off every elementwise pass; the dropped rows are pad garbage the
-    # caller slices off, re-zeroed here for the int8 store.
-    nr = min(-(-n_valid // 8) * 8, nfull)
+    nr = _chain_rows(n_valid, nfull)
     outs = []
     for h in range(num_heads):
         qm = qkv[:, :, h * d : (h + 1) * d]
@@ -344,12 +339,27 @@ def heads_attention(qkv, rq, s_attn, ro, *, n_valid, lis_bits, qmin, qmax, c,
                        else jax.lax.Precision.HIGHEST),  # see _fused_kernel
         )
         out = jnp.clip(jnp.round(av * ro), qmin, qmax)
-        if nr < nfull:
-            out = jnp.concatenate(
-                [out, jnp.zeros((g, nfull - nr, d), jnp.float32)], axis=1
-            )
-        outs.append(out.astype(jnp.int8))
+        outs.append(_zero_pad_rows(out, nfull).astype(jnp.int8))
     return jnp.concatenate(outs, axis=-1)
+
+
+def _chain_rows(n_valid: int, nfull: int) -> int:
+    """Rows the f32 score chain actually computes: the int8 panel is
+    32-row padded (197→224, 49→64) but the VPU softmax chain and the av
+    dot only need f32-sublane (8) alignment — ceil(n_valid/8)·8 rows
+    (197→200, 49→56), trimming ~11% off every elementwise pass. The
+    dropped rows are pad garbage the caller slices off; _zero_pad_rows
+    re-zeroes them for the int8 store."""
+    return min(-(-n_valid // 8) * 8, nfull)
+
+
+def _zero_pad_rows(out, nfull: int):
+    g, nr, d = out.shape
+    if nr == nfull:
+        return out
+    return jnp.concatenate(
+        [out, jnp.zeros((g, nfull - nr, d), jnp.float32)], axis=1
+    )
 
 
 @functools.partial(
@@ -453,9 +463,7 @@ def _swin_kernel(
     """
     rq, s1, inv_s2, ro = s_ref[0, 0], s_ref[0, 1], s_ref[0, 2], s_ref[0, 3]
     g, nfull, _ = qkv_ref.shape
-    # f32 chain on 8-aligned rows only (49→56 instead of 64 for 7×7
-    # windows, −12.5% VPU); pad-row outputs re-zeroed — see heads_attention
-    nr = min(-(-n_valid // 8) * 8, nfull)
+    nr = _chain_rows(n_valid, nfull)  # 49→56 instead of 64 for 7×7 windows
     outs = []
     for h in range(num_heads):
         qm = qkv_ref[:, :, h * d : (h + 1) * d]
@@ -491,11 +499,7 @@ def _swin_kernel(
                        else jax.lax.Precision.HIGHEST),  # see _fused_kernel
         )  # (G, NR, d)
         out = jnp.clip(jnp.round(av * ro), qmin, qmax)
-        if nr < nfull:
-            out = jnp.concatenate(
-                [out, jnp.zeros((g, nfull - nr, d), jnp.float32)], axis=1
-            )
-        outs.append(out.astype(jnp.int8))
+        outs.append(_zero_pad_rows(out, nfull).astype(jnp.int8))
     o_ref[...] = jnp.concatenate(outs, axis=-1)
 
 

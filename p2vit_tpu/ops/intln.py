@@ -8,15 +8,22 @@ row-statistics + M·2⁻ᴺ epilogue in VMEM, and writes int8 codes once:
 HBM traffic drops from ~15 passes to 2.
 
 Math is the code-domain QIntLayerNorm
-(/root/reference/models/ptq/layers.py:294-337), identical op-for-op to
-serving._int_ln_codes (the parity twin used in tests):
+(/root/reference/models/ptq/layers.py:294-337); the serving-side op order
+(THE parity spec — every serving twin runs this exact chain, ln_mn_chain):
 
+  w_os = w/out_scale ; b_os = b/out_scale     (hoisted constant vectors)
   x    = codes · ptf_mask                      (PTF shift alignment)
   mean = Σx/C · s1 ;  std = (s1/C)·√(C·Σx² − (Σx)²)
-  A    = (s1/std)·w/out_scale → sign, M=⌊|A|·2^N⌋ (M 8-bit, N∈[0,31])
-  B    = round((b − mean/std·w)/out_scale · 2^N)
-  y    = round((sign·M·x + B)/2^N)
+  A    = (s1/std)·w_os → sign; N = clip(7−⌊log2|A|⌋,0,31) via exponent
+         field (exact); M = ⌊|A|·2^N⌋ clipped to 8 bit
+  B    = round((b_os − (mean/std)·w_os) · 2^N)
+  y    = round((sign·M·x + B) · 2^−N)          (exact PoT reciprocal)
   out  = clip(round(y·ratio))                  (int8 codes)
+
+This deliberately differs from the simulation chain (quant/intops.py,
+which keeps the torch-parallel per-element divides and jnp.log2) at
+1-ulp knife edges for non-PoT scales; serving vs simulation is compared
+statistically, serving twins bitwise.
 
 Channel padding: inputs are zero-padded to a 128 multiple; padded lanes have
 mask=0 so they contribute nothing to the row sums (the true channel count is

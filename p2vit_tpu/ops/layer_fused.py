@@ -199,8 +199,10 @@ def fused_vit_layer(
     s1_ln2 = s_res1_v.min()
     s_res2_v = _vec(s_res2, c)
     s1_lnn = s_res2_v.min()
-    ln2_osc = _vec(ln2_out, c)
-    lnn_osc = _vec(lnn_out, c)
+    # same 1e-30 floor as int8_matmul_res_ln (ops/matmul_ln.py) — required
+    # for bit-parity with the four-kernel path on dead-channel scales
+    ln2_osc = jnp.maximum(_vec(ln2_out, c), 1e-30)
+    lnn_osc = jnp.maximum(_vec(lnn_out, c), 1e-30)
     scalars = jnp.stack(
         [
             jnp.asarray(score_requant, jnp.float32),

@@ -19,6 +19,7 @@ the same math in real integer arithmetic.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..ops.fastmath import exp2i
@@ -26,7 +27,7 @@ from .bit_type import BitType
 
 
 def _pow2(n):
-    """Exact 2.0**n for an integer-valued f32 array ``n``.
+    """Exact 2.0**n for an integer-valued f32 array ``n``, full f32 domain.
 
     torch's ``2**n`` (libm pow) is correctly rounded — exact at integer
     exponents — but XLA lowers ``2.0**n`` to a polynomial exp2 that is OFF
@@ -35,8 +36,21 @@ def _pow2(n):
     two' contract and shifted log_round's tie threshold vs the torch
     reference. Exponent-field construction (ops/fastmath.py) restores
     bit-exact torch semantics everywhere a power of two is formed.
+
+    Unlike the serving kernels (whose exponents are proof-bounded to
+    exp2i's normal range), the simulation must cover the whole domain:
+    subnormals for n ∈ [-149, -127] are built by placing 1 << (n+149) in
+    the mantissa field, n < -149 underflows to 0, n > 127 overflows to inf
+    — exactly libm pow's behavior (an 8-bit log-domain bit_type_s reaches
+    qlog = 255 → 2^-255 → 0).
     """
-    return exp2i(n.astype(jnp.int32)).astype(jnp.result_type(n, jnp.float32))
+    n_i = n.astype(jnp.int32)
+    normal = exp2i(jnp.clip(n_i, -126, 128))
+    sub = jax.lax.bitcast_convert_type(
+        jnp.left_shift(1, jnp.clip(n_i + 149, 0, 22)), jnp.float32
+    )
+    out = jnp.where(n_i >= -126, normal, jnp.where(n_i >= -149, sub, 0.0))
+    return out.astype(jnp.result_type(n, jnp.float32))
 
 
 def get_mn(x: jnp.ndarray):

@@ -85,3 +85,19 @@ def test_lis_tail_matches_exact_reference():
         v = np.abs(v.ravel())
         new = np.asarray(_lis_tail_new(jnp.asarray(v), 4))
         np.testing.assert_array_equal(new, _lis_tail_oracle(v, 4))
+
+
+def test_sim_pow2_full_domain():
+    """quant/intops._pow2 must match correctly-rounded libm pow over the
+    ENTIRE f32 exponent range — including subnormals (an 8-bit log-domain
+    bit type reaches 2^-255) and overflow — unlike the serving kernels'
+    proof-bounded exp2i."""
+    from p2vit_tpu.quant.intops import _pow2
+
+    n = np.arange(-300, 300, dtype=np.float32)
+    got = np.asarray(_pow2(jnp.asarray(n)))
+    want = (2.0 ** n.astype(np.float64)).astype(np.float32)
+    np.testing.assert_array_equal(got, want)
+    assert np.isposinf(np.asarray(_pow2(jnp.float32(128.0))))
+    assert float(_pow2(jnp.float32(-149.0))) == float(np.float32(2.0**-149))
+    assert float(_pow2(jnp.float32(-150.0))) == 0.0

@@ -475,12 +475,15 @@ def _swin_kernel(
             precision=jax.lax.Precision.DEFAULT,  # int dot: see _kernel
         )[:, :nr, :]  # (G, NR, N)
         attn_c = jnp.clip(jnp.round(acc.astype(jnp.float32) * rq), qmin, qmax)
+        # full-block ref reads, then VALUE slices to the trimmed rows — a
+        # row-sliced ref read lowers to an unsupported Mosaic gather
+        bias_h = bias_ref[h][None]
         attn2 = jnp.clip(
-            jnp.round((attn_c * s1 + bias_ref[h][None, :nr, :]) * inv_s2),
+            jnp.round((attn_c * s1 + bias_h[:, :nr, :]) * inv_s2),
             qmin, qmax,
         )
         if has_mask:
-            attn2 = attn2 + mask_ref[:, :nr, :]
+            attn2 = attn2 + mask_ref[...][:, :nr, :]
         col = jax.lax.broadcasted_iota(jnp.int32, attn2.shape, 2)
         # park padded key columns so they can't win the row max
         attn2 = jnp.where(col < n_valid, attn2, jnp.float32(-(2.0**30)))

@@ -22,6 +22,8 @@ for BENCH.md bookkeeping.
 import json
 import sys
 
+sys.path.insert(0, ".")  # run from the repo root
+
 import numpy as np
 import jax
 import jax.numpy as jnp

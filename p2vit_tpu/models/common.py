@@ -15,8 +15,6 @@ Weight layout conventions (kept torch-compatible for checkpoint ingestion):
 from __future__ import annotations
 
 import dataclasses
-import math
-from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -30,8 +30,6 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 

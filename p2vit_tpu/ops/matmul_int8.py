@@ -165,108 +165,15 @@ def int8_matmul_requant(
     return out[:m, :n]
 
 
-def _kernel_res(s_ref, x_ref, w_ref, r_ref, b_ref, res_ref, vec_ref, o_ref, *,
-                qmin, qmax):
-    acc = jax.lax.dot_general(
-        x_ref[:],
-        w_ref[:],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.int32,
-        precision=jax.lax.Precision.DEFAULT,  # int dot: see _kernel
-    )
-    s_mid = vec_ref[0, :][None, :]
-    s_res = vec_ref[1, :][None, :]
-    inv_s_out = vec_ref[2, :][None, :]  # hoisted reciprocal (see wrapper)
-    # step 1: the intermediate activation node's codes (e.g. qact3) — the
-    # round+clip here is load-bearing for parity with the simulation
-    mid = jnp.clip(jnp.round(acc.astype(jnp.float32) * r_ref[:] + b_ref[:]), qmin, qmax)
-    # step 2: residual requant-add, same f32 association as _requant_add
-    val = mid * s_mid + res_ref[:].astype(jnp.float32) * s_res
-    o_ref[:] = jnp.clip(jnp.round(val * inv_s_out), qmin, qmax).astype(jnp.int8)
-
-
-@functools.partial(
-    jax.jit, static_argnames=("qmin", "qmax", "block_m", "block_n", "interpret")
-)
-def int8_matmul_requant_res(
-    x_q: jnp.ndarray,
-    w_q: jnp.ndarray,
-    requant_scale: jnp.ndarray,
-    bias_scaled: jnp.ndarray,
-    res_q: jnp.ndarray,
-    s_mid,
-    s_res,
-    s_out,
-    qmin: int = -128,
-    qmax: int = 127,
-    block_m: int = 256,
-    block_n: int | None = None,
-    interpret: bool = False,
-) -> jnp.ndarray:
-    """Matmul + PoT requant to the intermediate node + fused residual add:
-
-      mid = clip(round(acc·r[n] + b[n]))                 (e.g. qact3 codes)
-      out = clip(round((mid·s_mid + res·s_res) / s_out)) (e.g. qact2 codes)
-
-    Realizes the proj→qact3→(+x)→qact2 and fc2→qact2→(+x)→qact4 residual
-    junctions (models/vit.py quant_forward) in one epilogue — the
-    intermediate round/clip is kept (it is load-bearing for parity with the
-    simulation), and the add uses the same f32 association as
-    serving._requant_add.
-    """
-    m, k = x_q.shape
-    n = w_q.shape[0]
-    block_m, block_n = _pick_blocks(m, n, block_m, block_n)
-    x_p = _pad_to(_pad_to(x_q, 0, block_m), 1, 128)
-    w_p = _pad_to(_pad_to(w_q, 0, block_n), 1, 128)
-    k = x_p.shape[1]
-    r_p = _pad_to(requant_scale.astype(jnp.float32), 0, block_n).reshape(1, -1)
-    b_p = _pad_to(bias_scaled.astype(jnp.float32), 0, block_n).reshape(1, -1)
-    res_p = _pad_to(_pad_to(res_q, 0, block_m), 1, block_n)
-
-    def vec(v):
-        return _pad_to(
-            jnp.broadcast_to(jnp.asarray(v, jnp.float32), (n,)), 0, block_n
-        )
-
-    # reciprocal hoisted out of the per-element epilogue (exact for the PoT
-    # scales the search produces; 1-ulp knife edges otherwise — the jnp twin
-    # uses the identical form so kernel/twin parity stays bitwise)
-    vecs = jnp.stack([vec(s_mid), vec(s_res), 1.0 / jnp.maximum(vec(s_out), 1e-30)])
-    s = jnp.zeros((1, 1), jnp.float32)
-    mp, np_ = x_p.shape[0], w_p.shape[0]
-
-    out = pl.pallas_call(
-        functools.partial(_kernel_res, qmin=qmin, qmax=qmax),
-        grid=(mp // block_m, np_ // block_n),
-        in_specs=[
-            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((block_m, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_n, k), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_n), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_n), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_m, block_n), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, block_n), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (block_m, block_n), lambda i, j: (i, j), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((mp, np_), jnp.int8),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * mp * np_ * k,
-            bytes_accessed=mp * k + np_ * k + 2 * mp * np_,
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(s, x_p, w_p, r_p, b_p, res_p, vecs)
-    return out[:m, :n]
-
-
 def int8_matmul_requant_res_ref(
     x_q, w_q, requant_scale, bias_scaled, res_q, s_mid, s_res, s_out,
     qmin=-128, qmax=127,
 ):
-    """jnp reference twin of the residual-fused matmul."""
+    """Matmul + requant-to-mid + fused residual add, jnp form.
+
+    The two-step spec that ops/matmul_ln.py's res+LN kernel fuses (its
+    _ref twin calls this); the standalone Pallas version was superseded
+    by that deeper fusion and removed."""
     n = w_q.shape[0]
     acc = jax.lax.dot_general(
         x_q, w_q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32,

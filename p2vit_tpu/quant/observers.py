@@ -30,7 +30,6 @@ Deliberate divergences from the reference (documented, crash-for-crash fixes):
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax

@@ -23,7 +23,6 @@ error), not bitwise.
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 
 import jax
@@ -38,12 +37,7 @@ from .ops.attention_lis import (
     lis_attention_qkv_fused,
     lis_attention_ref,
 )
-from .ops.matmul_int8 import (
-    int8_matmul_requant,
-    int8_matmul_requant_ref,
-    int8_matmul_requant_res,
-    int8_matmul_requant_res_ref,
-)
+from .ops.matmul_int8 import int8_matmul_requant, int8_matmul_requant_ref
 from .ops.intln import ln_mn_chain
 from .ops.layer_fused import fused_vit_layer
 from .ops.matmul_ln import int8_matmul_res_ln, int8_matmul_res_ln_ref

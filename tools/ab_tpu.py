@@ -26,6 +26,11 @@ sys.path.insert(0, ".")  # run from the repo root
 
 import numpy as np
 import jax
+
+# persistent compile cache: Mosaic kernel compiles through the tunnel run
+# ~30-40 s each (the fused-layer kernel worse); cache them across runs
+jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 import jax.numpy as jnp
 
 from p2vit_tpu.config import make_policy

@@ -170,3 +170,28 @@ def test_serving_forward_fused_layer_bit_identical(lis):
                                 lis=lis, fuse_layer=True)
     )
     np.testing.assert_array_equal(base, fused)
+
+
+def test_fused_layer_dead_channel_scale_parity():
+    """A dead channel (zero smoothquant/LN consumer scale) must not break
+    fused-vs-four-kernel bit parity: both paths floor the LN out-scale at
+    1e-30 (regression for the fused-layer path missing the floor)."""
+    policy = make_policy()
+    params = vit.init_params(jax.random.PRNGKey(5), TINY)
+    x = jax.random.normal(jax.random.PRNGKey(6), (2, 3, 32, 32))
+    calib = vit.calibrate(params, TINY, policy, x)
+    ss = serving.convert(params, calib.qstate, TINY, policy,
+                         [8] * TINY.num_matmuls)
+    # zero one channel of the LN2 consumer scale (ln2_out = s_act * norm2_cs)
+    sb = ss["blocks"][0]
+    sb["norm2_cs"] = sb["norm2_cs"].at[0].set(0.0)
+    base = np.asarray(
+        serving.serving_forward(ss, TINY, x, use_pallas=True, interpret=True,
+                                fuse_layer=False)
+    )
+    fused = np.asarray(
+        serving.serving_forward(ss, TINY, x, use_pallas=True, interpret=True,
+                                fuse_layer=True)
+    )
+    np.testing.assert_array_equal(base, fused)
+    assert np.isfinite(fused).all()

@@ -22,7 +22,6 @@ from __future__ import annotations
 import io
 import os
 import pickle
-import zipfile
 
 import numpy as np
 import jax.numpy as jnp
@@ -44,22 +43,21 @@ HUB_FILES = {
 
 
 def _torch_load_state_dict(path: str) -> dict:
-    """Load a torch .pth checkpoint to numpy without importing torch eagerly.
-
-    Uses torch when available (baked in); the zipfile+pickle fallback keeps
-    the loader importable in torch-free environments.
-    """
+    """Load a torch .pth checkpoint to numpy (torch import is lazy: only
+    .pth ingestion needs it; the .npz path and quant-state IO are
+    torch-free)."""
     try:
         import torch
-
-        obj = torch.load(path, map_location="cpu", weights_only=True)
-        if isinstance(obj, dict) and "model" in obj:  # facebook deit wrapping
-            obj = obj["model"]
-        return {k: np.asarray(v.detach().numpy()) for k, v in obj.items()}
-    except ImportError:
-        pass
-    with zipfile.ZipFile(path) as zf:  # pragma: no cover - torch is baked in
-        raise NotImplementedError("torch unavailable; cannot unpickle .pth")
+    except ImportError as e:  # pragma: no cover - torch is baked in
+        raise ImportError(
+            "loading .pth checkpoints requires torch (zip+pickle tensor "
+            "storage has no stdlib decoder); convert to .npz offline or "
+            "install torch"
+        ) from e
+    obj = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(obj, dict) and "model" in obj:  # facebook deit wrapping
+        obj = obj["model"]
+    return {k: np.asarray(v.detach().numpy()) for k, v in obj.items()}
 
 
 def from_torch_state_dict(sd: dict, cfg: ViTConfig) -> dict:

@@ -57,8 +57,18 @@ def _lis_from_scores(attn_c, s_attn, col, n_valid, lis_bits):
     transcendentals stay.)
     """
     # the exponent-extraction big (below) is bit-identical to the log2 form
-    # only while the 2^lis_bits overflow threshold stays ≤ 2^19
-    assert lis_bits <= 4, f"lis_bits={lis_bits}: exponent-trick proof bound"
+    # only while the 2^lis_bits overflow threshold stays ≤ 2^19. Raised at
+    # trace time of every wrapper (not a strippable assert): the reference's
+    # LIS codes are uint4 (config.py:34-38), so >4 bits is out of spec here.
+    if lis_bits > 4:
+        raise ValueError(
+            f"lis_bits={lis_bits}: the exponent-field floor(log2) is proven "
+            "bit-identical to the transcendental form only for <=4-bit LIS "
+            "codes (overflow threshold 2^bits <= 2^19, see ops/fastmath.py). "
+            "The reference's Log-Int-Softmax is uint4 "
+            "(/root/reference/config.py:34-38); use the simulation path "
+            "(quant/intops.py, full-domain _pow2) for wider log codes."
+        )
     x_int = attn_c - attn_c.max(axis=-1, keepdims=True)
     exp_int = _int_exp(x_int, s_attn)
     # padded key columns must contribute ZERO mass (int_exp never underflows

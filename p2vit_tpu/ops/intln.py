@@ -132,9 +132,12 @@ def int_ln_requant(
                 break
     cp = _pad_to(cp, 0, block_m)
     mp = cp.shape[0]
-    # hoist the /out_scale divides out of the per-element chain (ln_mn_chain)
-    w_os = jnp.asarray(ln_w, jnp.float32) / out_scale
-    b_os = jnp.asarray(ln_b, jnp.float32) / out_scale
+    # hoist the /out_scale divides out of the per-element chain (ln_mn_chain);
+    # same 1e-30 dead-channel floor as the other two LN entry points sharing
+    # this chain (matmul_ln.py, layer_fused.py)
+    osc = jnp.maximum(jnp.asarray(out_scale, jnp.float32), 1e-30)
+    w_os = jnp.asarray(ln_w, jnp.float32) / osc
+    b_os = jnp.asarray(ln_b, jnp.float32) / osc
     vecs = jnp.stack(
         [
             _pad_to(jnp.broadcast_to(jnp.asarray(v, jnp.float32), (c,)), 0, 128)

@@ -186,6 +186,28 @@ def fused_vit_layer(
     nfull = n + npad
     kpad = (-c) % 128
     kfull = c + kpad
+
+    def _vmem_bytes(g_):
+        """Static working-set estimate: resident weight panels + per-step
+        int8 activations + the dominant 32-bit matmul/attention temporaries
+        (the same accounting that sized intln's block_m cap)."""
+        weights = 3 * c * kfull + c * c + 2 * hid * c  # int8 panels
+        acts = g_ * nfull * (kfull + 4 * c)  # int8 in/out blocks
+        temps = g_ * nfull * (3 * c + num_heads * nfull + c + hid + c) * 4
+        return weights + acts + temps
+
+    # Mosaic enforces ~16 MB of scoped VMEM (BENCH.md 2026-08-16 item 4);
+    # shrink the per-step image count instead of failing at compile time on
+    # wide-channel geometries (DeiT-B/ViT-L approach the limit at g=2).
+    while g > 1 and _vmem_bytes(g) > 14 * 2**20:
+        g -= 1
+    if _vmem_bytes(g) > 14 * 2**20:
+        raise ValueError(
+            f"fused_vit_layer working set ~{_vmem_bytes(g) / 2**20:.1f} MiB "
+            f"at images_per_step=1 exceeds the ~16 MiB scoped-VMEM budget "
+            f"for geometry (n={n}, c={c}, hid={hid}); use the four-kernel "
+            "pipeline (fuse_layer=False)"
+        )
     h_p = jnp.pad(h_q, ((0, 0), (0, npad), (0, kpad))) if npad or kpad else h_q
     w_qkv_p = jnp.pad(w_qkv, ((0, 0), (0, kpad))) if kpad else w_qkv
     xc_p = jnp.pad(xc_q, ((0, 0), (0, npad), (0, 0))) if npad else xc_q

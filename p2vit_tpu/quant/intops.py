@@ -139,16 +139,31 @@ def log_round(x: jnp.ndarray):
     Mirrors QIntSoftmax.log_round (/root/reference/models/ptq/layers.py:375-381):
     floor(log2 x), +1 where x - 2^floor >= 2^(floor-1) (ties round UP —
     different tie rule from the calibration-side round_to_pot).
+
+    Domain: exact over the full f32 NORMAL range [2^-126, 2^128). XLA
+    backends flush subnormals to zero, so subnormal x returns -inf exactly
+    like x = 0 (torch on a non-flushing CPU would log-round them; the
+    in-repo callers only ever pass x >= 1).
     """
-    big = jnp.floor(jnp.log2(x))
-    # exact 2^big / 2^(big-1): with XLA's polynomial pow the tie threshold
-    # sat ~5e-7 off the reference's (see _pow2), flipping e.g. x = 3·2^12.
-    # Guard the cast: big = ±inf (x = 0 or inf) saturates int32, so park
-    # those lanes at 0 — their comparison outcome is inf-dominated anyway.
-    big_i = jnp.where(jnp.isfinite(big), big, 0.0).astype(jnp.int32)
-    p = jnp.where(jnp.isfinite(big), exp2i(big_i), big)
-    extra = (x - p) >= p * 0.5
-    return big + extra.astype(big.dtype)
+    # Read both quantities straight off the IEEE bit pattern — exact for
+    # every positive NORMAL x, with no arithmetic that could flush or a
+    # polynomial log2/pow that is ~5e-7 off at integer exponents (which
+    # shifted the tie threshold vs the reference, flipping e.g. x = 3·2^12):
+    #   floor(log2 x) = unbiased exponent field;
+    #   x - 2^floor >= 2^(floor-1)  ⟺  frac(x) >= 1.5  ⟺  mantissa bit 22.
+    # (The earlier arithmetic form (x-p >= p·0.5) silently broke at the
+    # smallest normals: XLA flushes the subnormal x-p / p·0.5 intermediates
+    # to zero, mis-rounding the whole [1.5, 2.0)·2^-126 band.)
+    xf = x.astype(jnp.float32)
+    bits = jax.lax.bitcast_convert_type(xf, jnp.int32)
+    e = ((bits >> 23) & 0xFF) - 127
+    tie = (bits >> 22) & 1
+    res = (e + tie).astype(jnp.float32)
+    # Non-normal lanes follow jnp.log2's own convention: x = 0 (and
+    # subnormals, which XLA flushes) → -inf, +inf → +inf, NaN/negative → NaN.
+    big = jnp.floor(jnp.log2(xf))
+    normal = (bits >= 0) & (e > -127) & (e < 128)
+    return jnp.where(normal, res, big).astype(jnp.result_type(x, jnp.float32))
 
 
 def int_polynomial(x_int: jnp.ndarray, scaling_factor):

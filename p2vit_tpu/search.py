@@ -139,10 +139,17 @@ def evolutionary_search(
     ``validate_fn(bit_config) -> top1`` is the (expensive) evaluator; the
     reference runs a full ImageNet-val pass per candidate.
 
-    Deliberate fix vs. the reference: when a mutated/crossed config violates
-    the size constraint, the reference re-appends the PREVIOUS candidate's
-    stale accuracy under the new config (test_quant.py:420-426); here
-    violating candidates are skipped outright.
+    Deliberate fixes vs. the reference:
+      * when a mutated/crossed config violates the size constraint, the
+        reference re-appends the PREVIOUS candidate's stale accuracy under
+        the new config (test_quant.py:420-426); here violating candidates
+        are skipped outright.
+      * both child loops are attempt-capped, and crossover is skipped
+        entirely once the population holds fewer than two DISTINCT configs —
+        the reference's ``if p1 == p2: continue`` (test_quant.py:432-436)
+        spins forever on a collapsed population, and its mutate loop
+        likewise spins when the gene space is smaller than ``mutate_size``
+        (same practical-hang standard as sample_bit_configs' cap).
     """
     constraint = constraint_ratio * sum(f * 4 for f in flops)
 
@@ -155,7 +162,9 @@ def evolutionary_search(
     for _ in range(evo_iter):
         children = []
         seen: list = []
-        while len(seen) <= mutate_size:
+        attempts = 20 * (mutate_size + 1)
+        while len(seen) <= mutate_size and attempts > 0:
+            attempts -= 1
             old = rng.choice(population)[0]
             new = [
                 b if rng.random() < mutate_prob else rng.choice(bit_choice)
@@ -166,7 +175,10 @@ def evolutionary_search(
                 if size_ok(new):
                     children.append((new, validate_fn(new)))
         seen = []
-        while len(seen) <= crossover_size:
+        attempts = 20 * (crossover_size + 1)
+        distinct = len({tuple(c) for c, _ in population}) >= 2
+        while distinct and len(seen) <= crossover_size and attempts > 0:
+            attempts -= 1
             p1, p2 = rng.choice(population)[0], rng.choice(population)[0]
             if p1 == p2:
                 continue

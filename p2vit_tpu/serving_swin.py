@@ -132,7 +132,9 @@ def _iln(codes, s_in, lnp, out_scale, expand=1, interpret=False, use_pallas=True
     sxx = (x * x).sum(axis=-1, keepdims=True)
     # shared serving LN chain (ops/intln.ln_mn_chain), matching the Pallas
     # kernel bit for bit
-    osc = jnp.broadcast_to(jnp.asarray(out_scale, jnp.float32), (c,))
+    osc = jnp.maximum(
+        jnp.broadcast_to(jnp.asarray(out_scale, jnp.float32), (c,)), 1e-30
+    )
     w_os = jnp.asarray(lnp["w"], jnp.float32) / osc
     b_os = jnp.asarray(lnp["b"], jnp.float32) / osc
     y = ln_mn_chain(x, sx, sxx, s1, float(c), w_os, b_os)

@@ -47,13 +47,33 @@ FULL_NAME = {
 }
 
 
+def str2bool(v):
+    """Real boolean parsing for --ptf/--lis.
+
+    The reference declares these ``type=bool`` (test_quant.py:36-37), so
+    ``--ptf False`` parses as True (any non-empty string is truthy) and the
+    flags can never actually be turned off. SURVEY §5 directs surfacing them
+    as real config; this accepts true/false/1/0/yes/no (case-insensitive).
+    """
+    if isinstance(v, bool):
+        return v
+    s = str(v).strip().lower()
+    if s in ("true", "1", "yes", "y", "on"):
+        return True
+    if s in ("false", "0", "no", "n", "off", ""):
+        return False
+    raise argparse.ArgumentTypeError(f"expected a boolean, got {v!r}")
+
+
 def build_parser():
     p = argparse.ArgumentParser(description="P2-ViT-TPU")
     p.add_argument("model", choices=MODEL_CHOICES)
     p.add_argument("data", metavar="DIR", help="dataset root (train/ + val/)")
     p.add_argument("--quant", action="store_true")
-    p.add_argument("--ptf", default=True, type=bool)
-    p.add_argument("--lis", default=True, type=bool)
+    p.add_argument("--ptf", default=True, type=str2bool,
+                   help="Power-of-Two-Factor int LayerNorm (true/false)")
+    p.add_argument("--lis", default=True, type=str2bool,
+                   help="Log-Int-Softmax (true/false)")
     p.add_argument(
         "--quant-method",
         default="minmax",

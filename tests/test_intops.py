@@ -78,6 +78,26 @@ class TestLogIntSoftmax:
         got = log_round(jnp.array([3.0, 2.9, 6.0, 1.0]))
         np.testing.assert_allclose(got, [2.0, 1.0, 3.0, 0.0])
 
+    def test_log_round_bottom_of_domain(self):
+        """log_round is exported public API; the bottom of the f32 range must
+        stay exact/sane, not bitcast garbage from feeding exp2i out of its
+        domain. Normal range: exact floor/tie-up down to 2^-126 inclusive —
+        the tie threshold is formed as (x-p)·2 >= p because p·0.5 FLUSHES to
+        zero at p = 2^-126 and would wrongly fire the tie. Subnormal x: XLA
+        backends flush to zero, so the documented result is -inf, same as
+        x = 0 (no garbage)."""
+        xs, want = [], []
+        for k in (-126, -125, -120, -100):
+            for frac, extra in ((1.0, 0), (1.25, 0), (1.5, 1), (1.75, 1)):
+                xs.append(np.float32(frac * 2.0**k))
+                want.append(k + extra)
+        got = np.asarray(log_round(jnp.asarray(np.array(xs, np.float32))))
+        np.testing.assert_allclose(got, np.array(want, np.float64))
+        sub = np.asarray(
+            log_round(jnp.asarray(np.array([2.0**-149, 2.0**-130, 0.0], np.float32)))
+        )
+        assert np.all(np.isneginf(sub))
+
     def test_outputs_are_pot_or_zero(self):
         rng = np.random.RandomState(1)
         x = rng.randn(2, 3, 5, 5).astype(np.float32) * 4

@@ -215,6 +215,59 @@ def test_sample_bit_configs_attempt_bound():
     assert time.time() - t0 < 10.0
 
 
+def test_evolutionary_search_collapsed_population():
+    """A population collapsed to ONE distinct config must not hang: the
+    reference's crossover loop `if p1 == p2: continue` spins forever there
+    (test_quant.py:432-436), and its mutate loop spins whenever the gene
+    space is smaller than mutate_size. Both child loops are attempt-capped
+    and crossover is skipped without >=2 distinct parents."""
+    flops = vit_flops(TINY)
+    n = len(flops)
+    seed = [[4] * n]  # single seed -> population of one distinct config
+
+    t0 = time.time()
+    pop = search.evolutionary_search(
+        lambda bits: -sum(bits), seed, flops, random.Random(0),
+        pop_size=4, evo_iter=2, mutate_size=3, crossover_size=3,
+        constraint_ratio=2.5,
+        # one bit choice -> mutation can never produce a new config either
+        bit_choice=(4,),
+    )
+    assert time.time() - t0 < 10.0
+    assert pop and pop[0][0] == [4] * n
+
+
+def test_cli_bool_flags():
+    """--ptf/--lis accept real booleans; the reference's `type=bool` parses
+    any non-empty string (incl. 'False') as True (test_quant.py:36-37) —
+    SURVEY §5 directs surfacing these as real config."""
+    import importlib.util
+    import os as _os
+
+    spec = importlib.util.spec_from_file_location(
+        "p2vit_cli", _os.path.join(_os.path.dirname(__file__), "..", "test_quant.py")
+    )
+    cli = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cli)
+
+    p = cli.build_parser()
+    base = ["deit_tiny", "/tmp/none"]
+    assert p.parse_args(base).ptf is True
+    assert p.parse_args(base).lis is True
+    for off in ("False", "false", "0", "no"):
+        args = p.parse_args(base + ["--ptf", off, "--lis", off])
+        assert args.ptf is False and args.lis is False
+    for on in ("True", "true", "1", "yes"):
+        args = p.parse_args(base + ["--lis", on])
+        assert args.lis is True
+    with pytest.raises(SystemExit):
+        p.parse_args(base + ["--lis", "maybe"])
+
+    # the parsed flags actually reach the policy layer
+    pol = make_policy(False, False, "minmax")
+    assert pol.int_norm is False and pol.int_softmax is False
+
+
 def test_datafree_generation(tiny_model):
     from p2vit_tpu.datafree import generate_data
 

@@ -84,6 +84,15 @@ def _bench_vit(name, batch, policy, on_accel):
                 sstate, cfg, xx, use_pallas=on_accel, lis=lis)), x)
         out[f"{key}_img_s"] = round(batch / t, 2)
         out[f"{key}_vs_baseline"] = round(t_fp / t, 4)
+    # the reference's blessed default config is [4]*n, W4A8
+    # (/root/reference/test_quant.py:467, config.py:13)
+    sstate4 = serving.convert(params, qstate, cfg, policy,
+                              [4] * cfg.num_matmuls)
+    t4 = _time_fn(
+        jax.jit(lambda xx: serving.serving_forward(
+            sstate4, cfg, xx, use_pallas=on_accel)), x)
+    out["w4a8_img_s"] = round(batch / t4, 2)
+    out["w4a8_vs_baseline"] = round(t_fp / t4, 4)
     out["batch"] = batch
     return out, (params, qstate, cfg, sstate, x)
 
@@ -168,6 +177,14 @@ def main():
                 sparams_bf16, scfg, xx.astype(jnp.bfloat16))), sx)
         res["swin_tiny_bf16_img_s"] = round(sbatch / t_fp, 2)
         res["swin_tiny_vs_baseline"] = round(t_fp / t, 4)
+        # first-class LIS pair for Swin too (fp softmax on the same codes,
+        # the reference's Config(lis=False) configuration)
+        t_off = _time_fn(
+            jax.jit(lambda xx: serving_swin.serving_forward(
+                ss, scalib.qstate, scfg, policy, xx, use_pallas=on_accel,
+                lis=False)), sx)
+        res["swin_tiny_lis_off_img_s"] = round(sbatch / t_off, 2)
+        res["swin_tiny_lis_off_vs_baseline"] = round(t_fp / t_off, 4)
         res["swin_batch"] = sbatch
     except Exception as e:  # pragma: no cover - hardware dependent
         res["swin_tiny_img_s"] = f"unavailable: {type(e).__name__}"

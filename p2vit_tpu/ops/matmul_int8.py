@@ -165,6 +165,112 @@ def int8_matmul_requant(
     return out[:m, :n]
 
 
+def pack_int4(w_q: jnp.ndarray) -> jnp.ndarray:
+    """Pack int4-valued int8 weight codes two-per-byte for the packed store.
+
+    Byte j of row n holds w[n, j] in the LOW nibble and w[n, j + K/2] in the
+    HIGH nibble: the kernel unpacks two CONTIGUOUS half-K panels (no lane
+    interleave, which Mosaic lowers as an expensive shuffle) and contracts
+    each against the matching contiguous activation slice. K must be even;
+    values must lie in [-8, 7] (the int4 weight-code range, bit_type.py).
+    """
+    n, k = w_q.shape
+    assert k % 2 == 0
+    lo = w_q[:, : k // 2].astype(jnp.int32) & 0xF
+    hi = w_q[:, k // 2 :].astype(jnp.int32) & 0xF
+    return (lo | (hi << 4)).astype(jnp.int8)
+
+
+def _packed_kernel(s_ref, x_ref, w_ref, r_ref, b_ref, o_ref, *, qmin, qmax,
+                   gelu, khalf):
+    w32 = w_ref[:].astype(jnp.int32)
+    # sign-extend each nibble: low via (v^8)-8, high via arithmetic shift
+    lo = (((w32 & 0xF) ^ 8) - 8).astype(jnp.int8)
+    hi = (w32 >> 4).astype(jnp.int8)  # int8->int32 was sign-extended
+    dot = functools.partial(
+        jax.lax.dot_general,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+    acc = dot(x_ref[:, :khalf], lo) + dot(x_ref[:, khalf:], hi)
+    y = acc.astype(jnp.float32) * r_ref[:] + b_ref[:]
+    if gelu:
+        y = _gelu_exact(y) * s_ref[0, 0]
+    o_ref[:] = jnp.clip(jnp.round(y), qmin, qmax).astype(jnp.int8)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("qmin", "qmax", "gelu", "block_m", "block_n", "interpret"),
+)
+def int4_matmul_requant(
+    x_q: jnp.ndarray,
+    w_packed: jnp.ndarray,
+    requant_scale: jnp.ndarray,
+    bias_scaled: jnp.ndarray,
+    out_inv=1.0,
+    qmin: int = -128,
+    qmax: int = 127,
+    gelu: bool = False,
+    block_m: int = 256,
+    block_n: int | None = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """int8_matmul_requant with an int4-PACKED weight store (pack_int4).
+
+    Memory-format experiment for W4 serving (VERDICT r2 item 4): weight HBM
+    bytes halve; the unpack costs ~4 VPU ops per packed byte plus a split-K
+    pair of half-K dots (identical int32 accumulation, exact). The A/B
+    against the plain int8 store lives in BENCH.md — weights are a small
+    fraction of batch-256 serving traffic, so this is a latency-regime
+    (small batch) play.
+    """
+    m, k2 = x_q.shape
+    assert k2 % 2 == 0 and w_packed.shape[1] == k2 // 2
+    n = w_packed.shape[0]
+    block_m, block_n = _pick_blocks(m, n, block_m, block_n)
+    # pad half-K to a lane multiple on BOTH halves (x halves padded alike)
+    khalf = k2 // 2
+    kh_pad = -(-khalf) % 128
+    if kh_pad:
+        xa = jnp.pad(x_q[:, :khalf], ((0, 0), (0, kh_pad)))
+        xb = jnp.pad(x_q[:, khalf:], ((0, 0), (0, kh_pad)))
+        x_q = jnp.concatenate([xa, xb], axis=1)
+        w_packed = jnp.pad(w_packed, ((0, 0), (0, kh_pad)))
+        khalf += kh_pad
+    x_p = _pad_to(x_q, 0, block_m)
+    w_p = _pad_to(w_packed, 0, block_n)
+    r_p = _pad_to(requant_scale.astype(jnp.float32), 0, block_n).reshape(1, -1)
+    b_p = _pad_to(bias_scaled.astype(jnp.float32), 0, block_n).reshape(1, -1)
+    s = jnp.asarray(out_inv, jnp.float32).reshape(1, 1)
+    mp, np_ = x_p.shape[0], w_p.shape[0]
+
+    out = pl.pallas_call(
+        functools.partial(
+            _packed_kernel, qmin=qmin, qmax=qmax, gelu=gelu, khalf=khalf
+        ),
+        grid=(mp // block_m, np_ // block_n),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((block_m, 2 * khalf), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, khalf), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_n), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_n), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (block_m, block_n), lambda i, j: (i, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), jnp.int8),
+        interpret=interpret,
+    )(s, x_p, w_p, r_p, b_p)
+    return out[:m, :n]
+
+
 def int8_matmul_requant_res_ref(
     x_q, w_q, requant_scale, bias_scaled, res_q, s_mid, s_res, s_out,
     qmin=-128, qmax=127,

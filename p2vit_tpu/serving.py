@@ -184,7 +184,9 @@ def _int_ln_codes(c_in, s_in, w, b, out_scale, ratio, use_pallas=False,
     # M·2^-N and hoisted /out_scale divides, matching the Pallas kernels bit
     # for bit. (The simulation path's intops.get_mn keeps jnp.log2 and the
     # per-element divides for op-for-op torch parity.)
-    osc = jnp.broadcast_to(jnp.asarray(out_scale, jnp.float32), (c,))
+    osc = jnp.maximum(
+        jnp.broadcast_to(jnp.asarray(out_scale, jnp.float32), (c,)), 1e-30
+    )
     w_os = (jnp.asarray(w, jnp.float32) / osc)[None, :]
     b_os = (jnp.asarray(b, jnp.float32) / osc)[None, :]
     y = ln_mn_chain(x_q, sx, sxx, s1, float(c), w_os, b_os)
@@ -263,17 +265,69 @@ def stack_layer_consts(s, cfg: ViTConfig):
     )
 
 
+def _embed_fused_consts(s, cfg: ViTConfig):
+    """Constants for ops/embed_fused.py, mirroring the four-stage path's
+    op chain (embed_codes below) bit for bit."""
+    c = cfg.embed_dim
+    p = s["patch"]
+    sq1 = jnp.broadcast_to(jnp.asarray(s["s_qact1"], jnp.float32), (c,))
+    # the [CLS] xc row is image-independent: cls codes + pos row 0 → qact1
+    cls_val = (
+        s["cls_codes"].astype(jnp.float32) * s["s_embed"]
+        + s["pos_codes"][:, :1, :] * s["s_pos"]
+    )
+    cls_xc = jnp.clip(jnp.round(cls_val / sq1), *_I8).astype(jnp.int8)
+    # block-0 LN1 constants in the shared serving form (_int_ln_codes)
+    qkv0 = s["blocks"][0]["qkv"]
+    s1 = sq1.min()
+    osc = jnp.maximum(
+        jnp.broadcast_to(
+            jnp.asarray(qkv0["s_act"] * qkv0["cs"], jnp.float32), (c,)
+        ),
+        1e-30,
+    )
+    return dict(
+        s_input=s["s_input"],
+        patch_requant=s["s_input"] * p["sw"] / p["s_out"],
+        patch_bias=p["bias"] / p["s_out"],
+        embed_requant=p["s_out"] / s["s_embed"],
+        s_embed=s["s_embed"],
+        pos_val=s["pos_codes"][0, 1:, :] * s["s_pos"],
+        cls_xc=cls_xc.reshape(1, c),
+        s_qact1=sq1,
+        ln_mask=jnp.round(sq1 / s1),
+        ln_s1=s1,
+        ln_w_os=jnp.asarray(s["blocks"][0]["norm1_w"], jnp.float32) / osc,
+        ln_b_os=jnp.asarray(s["blocks"][0]["norm1_b"], jnp.float32) / osc,
+    )
+
+
 def embed_codes(s, cfg: ViTConfig, x, use_pallas: bool = True,
-                interpret: bool = False):
+                interpret: bool = False, fuse_embed: bool = True):
     """The serving prologue: image → patch conv → [cls; patches] + pos →
     qact1 codes (``xc``), plus block 0's standalone int-LN1 output (``h``).
-    Every later LN is fused into the matmul producing its input."""
+    Every later LN is fused into the matmul producing its input.
+
+    ``fuse_embed`` (Pallas only): run the whole prologue as ONE kernel
+    (ops/embed_fused.py) — bit-identical to the staged path below, and
+    ~2.5 ms faster at DeiT-S batch 256 (tools/glue_bench.py put the staged
+    prologue at 4.0 ms, ~10% of the forward, mostly inter-stage HBM trips).
+    """
+    b = x.shape[0]
+    c = cfg.embed_dim
+    if use_pallas and fuse_embed:
+        from .ops.embed_fused import fused_patch_embed
+
+        k = _embed_fused_consts(s, cfg)
+        patches = extract_patches(x.astype(jnp.float32), cfg.patch_size)
+        xc, h = fused_patch_embed(
+            patches, s["patch"]["w_q"], interpret=interpret, **k
+        )
+        return h, xc
     mm = int8_matmul_requant if use_pallas else int8_matmul_requant_ref
     mm_kw = {"interpret": interpret} if use_pallas else {}
     iln = functools.partial(_int_ln_codes, use_pallas=use_pallas,
                             interpret=interpret)
-    b = x.shape[0]
-    c = cfg.embed_dim
     c0 = jnp.clip(jnp.round(x / s["s_input"]), *_I8).astype(jnp.int8)
     patches = extract_patches(c0, cfg.patch_size)  # int8 codes, reordered only
 
@@ -316,6 +370,59 @@ def head_logits(s, h, use_pallas: bool = True, interpret: bool = False):
     return logits_c.astype(jnp.float32) * s["s_out"]
 
 
+def apply_unfused_layer(cfg: ViTConfig, layer, h, xc, lis=True,
+                        fuse_qkv=True, use_pallas=True, interpret=False):
+    """ONE encoder layer on codes via the four-kernel pipeline, driven from
+    a stack_layer_consts slice — the lax.scan body of serving_forward's
+    scan_layers mode. Same kernels, same constants, same order as the
+    unrolled loop (bit-identical; asserted in tests/test_serving.py)."""
+    (w_qkv, qr, qb, srq, sat, oro, w_proj, prr, prb, smid, sprev,
+     sres1, ln2w, ln2b, ln2o, ln2r, w_fc1, f1r, f1b, f1inv, w_fc2,
+     f2r, f2b, smid2, sres2, lnnw, lnnb, lnno, lnnr) = layer
+    mm = int8_matmul_requant if use_pallas else int8_matmul_requant_ref
+    mm_res_ln = int8_matmul_res_ln if use_pallas else int8_matmul_res_ln_ref
+    mm_kw = {"interpret": interpret} if use_pallas else {}
+    b, n_tok, c = h.shape
+    if use_pallas and fuse_qkv:
+        h = lis_attention_qkv_fused(
+            h, w_qkv, qr, qb, cfg.num_heads, srq, sat, oro, lis=lis,
+            interpret=interpret,
+        )
+    else:
+        h2 = mm(h.reshape(-1, c), w_qkv, qr, qb, **mm_kw).reshape(
+            b, n_tok, 3 * c
+        )
+        if use_pallas:
+            h = lis_attention_fused(h2, cfg.num_heads, srq, sat, oro, lis=lis,
+                                    interpret=interpret)
+        else:
+            hd = cfg.head_dim
+            qkv_c = h2.reshape(b, n_tok, 3, cfg.num_heads, hd).transpose(
+                2, 0, 3, 1, 4
+            )
+            av = lis_attention_ref(
+                qkv_c[0].reshape(b * cfg.num_heads, n_tok, hd),
+                qkv_c[1].reshape(b * cfg.num_heads, n_tok, hd),
+                qkv_c[2].reshape(b * cfg.num_heads, n_tok, hd),
+                srq, sat, oro, lis=lis,
+            )
+            h = (
+                av.reshape(b, cfg.num_heads, n_tok, hd)
+                .transpose(0, 2, 1, 3)
+                .reshape(b, n_tok, c)
+            )
+    xc2, h = mm_res_ln(
+        h.reshape(-1, c), w_proj, prr, prb, xc.reshape(-1, c),
+        smid, sprev, sres1, ln2w, ln2b, ln2o, ln2r, **mm_kw,
+    )
+    h = mm(h, w_fc1, f1r, f1b, out_inv=f1inv, gelu=True, **mm_kw)
+    xc3, h = mm_res_ln(
+        h, w_fc2, f2r, f2b, xc2, smid2, sres1, sres2,
+        lnnw, lnnb, lnno, lnnr, **mm_kw,
+    )
+    return h.reshape(b, n_tok, c), xc3.reshape(b, n_tok, c)
+
+
 def apply_fused_layer(cfg: ViTConfig, layer, h, xc, lis=True, interpret=False):
     """Run ONE encoder layer on codes from a stack_layer_consts slice."""
     (w_qkv, qr, qb, srq, sat, oro, w_proj, prr, prb, smid, sprev,
@@ -333,11 +440,12 @@ def apply_fused_layer(cfg: ViTConfig, layer, h, xc, lis=True, interpret=False):
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "interpret", "use_pallas", "lis", "fuse_qkv",
-                     "fuse_layer"),
+                     "fuse_layer", "fuse_embed", "scan_layers"),
 )
 def serving_forward(s, cfg: ViTConfig, x, interpret: bool = False,
                     use_pallas: bool = True, lis: bool = True,
-                    fuse_qkv: bool = True, fuse_layer: bool = False):
+                    fuse_qkv: bool = True, fuse_layer: bool = False,
+                    fuse_embed: bool = True, scan_layers: bool | None = None):
     """Run the int8 pipeline on a f32 image batch; returns f32 logits.
 
     ``lis``: Log-Int-Softmax on (the reference default) or the LIS-off fp
@@ -351,7 +459,18 @@ def serving_forward(s, cfg: ViTConfig, x, interpret: bool = False,
     (ops/layer_fused.py) — bit-identical to the four-kernel pipeline, and
     ~4× less int8 HBM boundary traffic (the measured bottleneck; see the
     module docstring there). Takes precedence over ``fuse_qkv``.
+    ``fuse_embed``: run the whole prologue as ONE kernel
+    (ops/embed_fused.py; bit-identical, default ON — see embed_codes).
+    ``scan_layers``: drive the four-kernel pipeline through ONE lax.scan
+    over depth-stacked layer constants instead of unrolling — every kernel
+    compiles once, so the program size is depth-independent (ViT-L's
+    24-layer unroll exceeded the axon tunnel's compile-request limit, and
+    Mosaic compiles each pallas_call instance separately). Bit-identical to
+    the unrolled loop. Default: on for depth > 12 (compile-time win),
+    unrolled otherwise.
     """
+    if scan_layers is None:
+        scan_layers = len(s["blocks"]) > 12
     mm = int8_matmul_requant if use_pallas else int8_matmul_requant_ref
     mm_res_ln = int8_matmul_res_ln if use_pallas else int8_matmul_res_ln_ref
     mm_kw = {"interpret": interpret} if use_pallas else {}
@@ -360,7 +479,8 @@ def serving_forward(s, cfg: ViTConfig, x, interpret: bool = False,
     b = x.shape[0]
     c = cfg.embed_dim
     n_tok = cfg.seq_len
-    h, xc = embed_codes(s, cfg, x, use_pallas=use_pallas, interpret=interpret)
+    h, xc = embed_codes(s, cfg, x, use_pallas=use_pallas, interpret=interpret,
+                        fuse_embed=fuse_embed)
     s_prev = s["s_qact1"]
     n_blocks = len(s["blocks"])
     if use_pallas and fuse_layer:
@@ -377,6 +497,20 @@ def serving_forward(s, cfg: ViTConfig, x, interpret: bool = False,
 
         (h, xc), _ = jax.lax.scan(body, (h, xc), layers)
         blocks_iter = []  # fall through to the shared head/tail below
+    elif scan_layers:
+        layers = stack_layer_consts(s, cfg)
+
+        def body(carry, layer):
+            return (
+                apply_unfused_layer(
+                    cfg, layer, *carry, lis=lis, fuse_qkv=fuse_qkv,
+                    use_pallas=use_pallas, interpret=interpret,
+                ),
+                None,
+            )
+
+        (h, xc), _ = jax.lax.scan(body, (h, xc), layers)
+        blocks_iter = []
     else:
         blocks_iter = list(enumerate(s["blocks"]))
 

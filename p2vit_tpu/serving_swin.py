@@ -213,16 +213,22 @@ def _bias_values(sb, aq, ws, n, n_heads):
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "policy", "interpret", "use_pallas",
-                     "pallas_attn"),
+                     "pallas_attn", "lis"),
 )
 def serving_forward(s, qstate, cfg: SwinConfig, policy: QuantPolicy, x,
                     interpret: bool = False, use_pallas: bool = True,
-                    pallas_attn: bool = True):
+                    pallas_attn: bool = True, lis: bool | None = None):
     """Run the Swin int8 pipeline on an fp image batch; returns f32 logits.
 
     ``pallas_attn`` (default ON): the fused Pallas window-attention kernel —
     bit-identical to the XLA path on chip and 35% faster end to end
     (1937 vs 1433 img/s, Swin-T batch 64, tools/ab_tpu.py 2026-08-16).
+
+    ``lis``: override the policy's Log-Int-Softmax switch at serving time
+    (lis=False runs the fp softmax over dequantized scores on the same
+    calibrated state — the reference's Config(lis=False) configuration,
+    /root/reference/config.py:32-43 — mirroring serving.serving_forward's
+    first-class pair).
 
     The patch conv runs fp (Swin has no input quantizer — constructors never
     pass input_quant, swin_quant.py:917-930), then everything downstream is
@@ -230,7 +236,7 @@ def serving_forward(s, qstate, cfg: SwinConfig, policy: QuantPolicy, x,
     """
     mm = int8_matmul_requant if use_pallas else int8_matmul_requant_ref
     mm_kw = {"interpret": interpret} if use_pallas else {}
-    lis = bool(policy.int_softmax)
+    lis = bool(policy.int_softmax) if lis is None else bool(lis)
     b = x.shape[0]
 
     # fp patch stem against fake-quantized weights (sim parity)

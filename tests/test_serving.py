@@ -195,3 +195,70 @@ def test_fused_layer_dead_channel_scale_parity():
     )
     np.testing.assert_array_equal(base, fused)
     assert np.isfinite(fused).all()
+
+
+def test_fused_embed_bit_identical_interpret():
+    """ops/embed_fused.py: the one-kernel prologue must equal the staged
+    pipeline (quantize → patch mm → requants → pos → qact1 → block-0 int-LN)
+    bit for bit, and so must the full forward through it."""
+    policy = make_policy()
+    params = vit.init_params(jax.random.PRNGKey(0), TINY)
+    x = jax.random.normal(jax.random.PRNGKey(1), (5, 3, 32, 32))
+    calib = vit.calibrate(params, TINY, policy, x)
+    ss = serving.convert(params, calib.qstate, TINY, policy,
+                         [8] * TINY.num_matmuls)
+    h0, xc0 = serving.embed_codes(ss, TINY, x, use_pallas=False)
+    h1, xc1 = serving.embed_codes(ss, TINY, x, use_pallas=True,
+                                  interpret=True, fuse_embed=True)
+    np.testing.assert_array_equal(np.asarray(h0), np.asarray(h1))
+    np.testing.assert_array_equal(np.asarray(xc0), np.asarray(xc1))
+    a = serving.serving_forward(ss, TINY, x, use_pallas=True, interpret=True,
+                                fuse_embed=True)
+    b = serving.serving_forward(ss, TINY, x, use_pallas=True, interpret=True,
+                                fuse_embed=False)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # batch not divisible by images_per_step (padded grid rows sliced off)
+    h2, xc2 = serving.embed_codes(ss, TINY, x[:3], use_pallas=True,
+                                  interpret=True, fuse_embed=True)
+    np.testing.assert_array_equal(np.asarray(h2), np.asarray(h0)[:3])
+    np.testing.assert_array_equal(np.asarray(xc2), np.asarray(xc0)[:3])
+
+
+def test_int4_packed_matmul_bit_identical_interpret():
+    """ops/matmul_int8.int4_matmul_requant (packed W4 store, split-K
+    unpack) must equal the int8-store reference exactly, plain and GELU."""
+    from p2vit_tpu.ops.matmul_int8 import int4_matmul_requant, pack_int4
+
+    rng = np.random.RandomState(3)
+    for m, k, n in ((64, 96, 48), (70, 130 * 2, 33)):
+        x = jnp.asarray(rng.randint(-128, 128, (m, k), dtype=np.int8))
+        w = jnp.asarray(rng.randint(-8, 8, (n, k), dtype=np.int8))
+        r = jnp.asarray(2.0 ** rng.randint(-12, -6, n).astype(np.float32))
+        b = jnp.asarray(rng.randn(n).astype(np.float32))
+        ref = int8_matmul_requant_ref(x, w, r, b)
+        got = int4_matmul_requant(x, pack_int4(w), r, b, interpret=True)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+        refg = int8_matmul_requant_ref(x, w, r, b, out_inv=16.0, gelu=True)
+        gotg = int4_matmul_requant(x, pack_int4(w), r, b, out_inv=16.0,
+                                   gelu=True, interpret=True)
+        np.testing.assert_array_equal(np.asarray(gotg), np.asarray(refg))
+
+
+def test_scan_layers_bit_identical():
+    """serving_forward(scan_layers=True) — ONE lax.scan over depth-stacked
+    constants, depth-independent program size (the ViT-L unroll exceeded
+    the tunnel's compile-request cap) — must equal the unrolled loop
+    bit for bit on both backends."""
+    policy = make_policy()
+    cfg = ViTConfig(img_size=32, patch_size=8, num_classes=10, embed_dim=16,
+                    depth=3, num_heads=2)
+    params = vit.init_params(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 3, 32, 32))
+    calib = vit.calibrate(params, cfg, policy, x)
+    ss = serving.convert(params, calib.qstate, cfg, policy,
+                         [8] * cfg.num_matmuls)
+    for kw in (dict(use_pallas=False), dict(use_pallas=True, interpret=True),
+               dict(use_pallas=True, interpret=True, fuse_qkv=False)):
+        a = np.asarray(serving.serving_forward(ss, cfg, x, scan_layers=True, **kw))
+        b = np.asarray(serving.serving_forward(ss, cfg, x, scan_layers=False, **kw))
+        np.testing.assert_array_equal(a, b, err_msg=str(kw))

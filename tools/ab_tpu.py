@@ -120,23 +120,25 @@ def _zoo_one(name, batch=8):
     policy = make_policy()
     cfg = MODEL_ZOO[name]
     x = jax.random.normal(jax.random.PRNGKey(1), (batch, 3, 224, 224))
+    # NOTE: serving_forward is already jitted with the ServingState as a
+    # RUNTIME argument. Wrapping it in jax.jit(lambda xx: ...) would close
+    # over the weights and inline them as HLO constants — ViT-L's ~1.2 GB
+    # of literals blew the tunnel's compile-request size cap (HTTP 413).
     if name in SWIN_ZOO:
         params = swin_mod.init_params(jax.random.PRNGKey(0), cfg)
         calib = swin_mod.calibrate(params, cfg, policy, x)
         ss = serving_swin.convert(params, calib.qstate, cfg, policy, 8)
-        on = np.asarray(jax.jit(lambda xx: serving_swin.serving_forward(
-            ss, calib.qstate, cfg, policy, xx, use_pallas=True,
-            pallas_attn=True))(x))
-        sim = np.asarray(jax.jit(lambda xx: serving_swin.serving_forward(
-            ss, calib.qstate, cfg, policy, xx, use_pallas=False))(x))
+        on = np.asarray(serving_swin.serving_forward(
+            ss, calib.qstate, cfg, policy, x, use_pallas=True,
+            pallas_attn=True))
+        sim = np.asarray(serving_swin.serving_forward(
+            ss, calib.qstate, cfg, policy, x, use_pallas=False))
     else:
         params = vit.init_params(jax.random.PRNGKey(0), cfg)
         qstate = vit.synthetic_qstate(cfg)
         ss = serving.convert(params, qstate, cfg, policy, [8] * cfg.num_matmuls)
-        on = np.asarray(jax.jit(lambda xx: serving.serving_forward(
-            ss, cfg, xx, use_pallas=True))(x))
-        sim = np.asarray(jax.jit(lambda xx: serving.serving_forward(
-            ss, cfg, xx, use_pallas=False))(x))
+        on = np.asarray(serving.serving_forward(ss, cfg, x, use_pallas=True))
+        sim = np.asarray(serving.serving_forward(ss, cfg, x, use_pallas=False))
     agree = float((on.argmax(1) == sim.argmax(1)).mean())
     rel = float(np.linalg.norm(on - sim) / max(np.linalg.norm(sim), 1e-9))
     RESULTS[f"zoo_{name}_argmax_agree"] = agree

@@ -556,11 +556,16 @@ def swin_lis_attention(
     nfull = n + npad
     has_mask = mask is not None
     # windows per grid step: amortize grid overhead, stay G | n_windows so a
-    # step's mask slice is one contiguous chunk of the (nW, N, N) mask array
+    # step's mask slice is one contiguous chunk of the (nW, N, N) mask array.
+    # The LIS-off variant keeps a multi-pass fp32 attn@v contract (general
+    # f32 softmax weights) whose workspace scales ~ G·C and blew the 16 MB
+    # scoped-VMEM stack (measured: 21.55M at G=16·C=384, 18.27M at
+    # G=8·C=768) — cap G·C ≈ 3072 for it.
+    g_cap = 16 if lis else max(1, min(16, 3072 // c))
     if has_mask:
-        g = math.gcd(16, n_windows)
+        g = math.gcd(g_cap, n_windows)
     else:
-        g = 16
+        g = g_cap
     wpad = (-w) % g
     wfull = w + wpad
     qkv_p = jnp.pad(qkv_q, ((0, wpad), (0, npad), (0, 0)))

@@ -49,9 +49,15 @@ def _kernel(s_ref, px_ref, w_ref, vec_ref, pos_ref, cls_ref, xc_ref, h_ref,
     kpad = px_ref.shape[-1]
     cpad = w_ref.shape[0]
 
-    # input quantize (qact_input) + patch matmul + patch-qact epilogue
+    # input quantize (qact_input) + patch matmul + patch-qact epilogue.
+    # int8 patches arrive PRE-quantized (quantize-then-extract commutes
+    # exactly with the extraction permutation; XLA fuses the quantize into
+    # the patch transpose, moving 4x fewer bytes — tools/embed_bench.py).
     x = px_ref[:].reshape(g * n_patch, kpad)
-    q = jnp.clip(jnp.round(x / s_input), *_I8).astype(jnp.int8)
+    if x.dtype == jnp.int8:
+        q = x
+    else:
+        q = jnp.clip(jnp.round(x / s_input), *_I8).astype(jnp.int8)
     acc = jax.lax.dot_general(
         q, w_ref[:], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32,
@@ -107,15 +113,17 @@ def fused_patch_embed(
     ln_s1,
     ln_w_os,
     ln_b_os,
-    images_per_step: int = 2,
+    images_per_step: int | None = None,
     interpret: bool = False,
 ):
     """Image patches → (xc, h) int8 codes of the first encoder block.
 
     Args:
-      patches: (B, N_patch, K) f32 patch matrix (extract_patches on the RAW
+      patches: (B, N_patch, K) patch matrix. f32: raw patches, quantized
+        in-kernel. int8: qact_input codes (extract_patches on the quantized
         image — quantize-then-extract and extract-then-quantize commute
-        exactly, both are elementwise + permutation).
+        exactly, both are elementwise + permutation; the int8 form moves
+        4x fewer HBM bytes and is the serving default).
       w_q: (C, K) int8 patch-embed weight codes.
       s_input: scalar qact_input scale (divides, like the unfused path).
       patch_requant/patch_bias: (C,) matmul epilogue → patch-qact codes.
@@ -132,6 +140,12 @@ def fused_patch_embed(
     """
     b, n_patch, k = patches.shape
     c = w_q.shape[0]
+    px_itemsize = 1 if patches.dtype == jnp.int8 else 4
+    if images_per_step is None:
+        # on-chip g-sweeps (tools/embed_bench.py): int8 patch blocks
+        # pipeline best one image at a time (1.17 vs 1.44 ms at g=2,
+        # DeiT-S batch 256); the f32 sweep put g=2 fastest.
+        images_per_step = 1 if px_itemsize == 1 else 2
     g = images_per_step
 
     px = _pad_to(patches, 2, 128)
@@ -140,13 +154,13 @@ def fused_patch_embed(
     cpad = wp.shape[0]
 
     def _vmem_bytes(g_):
-        """Static working-set estimate: f32 patch block + i32/f32 matmul and
+        """Static working-set estimate: patch block + i32/f32 matmul and
         LN temporaries + weight panel (same accounting as layer_fused's
         guard; the on-chip sweep put g=2 fastest and g=8 over the ~16 MiB
         scoped-VMEM budget at DeiT-S geometry)."""
         n1 = n_patch + 1
         return (
-            g_ * n_patch * kpad * 4          # patch block (f32)
+            g_ * n_patch * kpad * px_itemsize  # patch block (f32 or i8)
             + cpad * kpad + 6 * cpad * 4     # weight panel + vecs
             + n_patch * cpad * 4             # pos values
             + g_ * n_patch * cpad * 8        # acc i32 + mid f32

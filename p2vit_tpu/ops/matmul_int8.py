@@ -52,7 +52,8 @@ def _gelu_exact(y):
     return 0.5 * y * (1.0 + _erf(y * jnp.float32(0.7071067811865476)))
 
 
-def _kernel(s_ref, x_ref, w_ref, r_ref, b_ref, o_ref, *, qmin, qmax, gelu):
+def _kernel(s_ref, x_ref, w_ref, r_ref, b_ref, o_ref, *, qmin, qmax, gelu,
+            raw_store=False):
     # precision is meaningless for integer matmuls, but the package-global
     # jax_default_matmul_precision=highest (needed by the f32 PoT searches,
     # p2vit_tpu/__init__.py) would otherwise stamp contract_precision<fp32>
@@ -65,6 +66,14 @@ def _kernel(s_ref, x_ref, w_ref, r_ref, b_ref, o_ref, *, qmin, qmax, gelu):
         preferred_element_type=jnp.int32,
         precision=jax.lax.Precision.DEFAULT,
     )
+    if raw_store:
+        # TIMING-ONLY (tools/ceiling_bench.py): truncation store of the raw
+        # accumulator — same dot, same DMA, no requant chain. The time
+        # difference vs the normal epilogue is the in-kernel cost of the
+        # mandated PoT requant (i32→f32, mul, add, round, clip, →i8).
+        # The MATH IS WRONG (mod-256 wraparound); never a serving mode.
+        o_ref[:] = acc.astype(jnp.int8)
+        return
     # PoT requant: exact multiply by 2^k (bit-shift in silicon) + prescaled
     # bias, round-half-even like the simulation path
     y = acc.astype(jnp.float32) * r_ref[:] + b_ref[:]
@@ -102,7 +111,8 @@ def _pad_to(a, axis, mult):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("qmin", "qmax", "gelu", "block_m", "block_n", "interpret"),
+    static_argnames=("qmin", "qmax", "gelu", "block_m", "block_n", "interpret",
+                     "raw_store"),
 )
 def int8_matmul_requant(
     x_q: jnp.ndarray,
@@ -116,6 +126,7 @@ def int8_matmul_requant(
     block_m: int = 256,
     block_n: int | None = None,
     interpret: bool = False,
+    raw_store: bool = False,
 ) -> jnp.ndarray:
     """out_q = clip(round(epilogue(Σ_k x_q·w_q · requant[n] + bias[n])))
 
@@ -142,7 +153,8 @@ def int8_matmul_requant(
     mp, np_ = x_p.shape[0], w_p.shape[0]
 
     out = pl.pallas_call(
-        functools.partial(_kernel, qmin=qmin, qmax=qmax, gelu=gelu),
+        functools.partial(_kernel, qmin=qmin, qmax=qmax, gelu=gelu,
+                          raw_store=raw_store),
         grid=(mp // block_m, np_ // block_n),
         in_specs=[
             pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),

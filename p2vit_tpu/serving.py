@@ -319,7 +319,16 @@ def embed_codes(s, cfg: ViTConfig, x, use_pallas: bool = True,
         from .ops.embed_fused import fused_patch_embed
 
         k = _embed_fused_consts(s, cfg)
-        patches = extract_patches(x.astype(jnp.float32), cfg.patch_size)
+        # quantize BEFORE extracting: XLA fuses the qact_input round into
+        # the patch transpose, so the reorder moves int8 codes (4x fewer
+        # bytes) and the kernel reads a quarter of the patch DMA. Bit-
+        # identical to quantizing in-kernel (commutes with the permutation);
+        # A/B'd on chip 2026-08-17 (tools/embed_bench.py): 2.85 → 1.54 ms
+        # for the DeiT-S batch-256 prologue (e2e 37.2 → 35.8 ms).
+        c0 = jnp.clip(
+            jnp.round(x.astype(jnp.float32) / s["s_input"]), *_I8
+        ).astype(jnp.int8)
+        patches = extract_patches(c0, cfg.patch_size)
         xc, h = fused_patch_embed(
             patches, s["patch"]["w_q"], interpret=interpret, **k
         )

@@ -34,8 +34,14 @@ from .ops.attention_lis import (
     _lis_from_scores,
     swin_lis_attention,
 )
-from .ops.intln import int_ln_requant, ln_mn_chain
+from .ops.intln import (
+    int_ln_requant,
+    int_res_ln_requant,
+    int_res_ln_requant_ref,
+    ln_mn_chain,
+)
 from .ops.matmul_int8 import int8_matmul_requant, int8_matmul_requant_ref
+from .ops.matmul_ln import int8_matmul_res_ln, int8_matmul_res_ln_ref
 
 _I8 = (-128, 127)
 _ROW = {4: 2, 8: 3}
@@ -213,11 +219,12 @@ def _bias_values(sb, aq, ws, n, n_heads):
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "policy", "interpret", "use_pallas",
-                     "pallas_attn", "lis"),
+                     "pallas_attn", "lis", "fuse_res"),
 )
 def serving_forward(s, qstate, cfg: SwinConfig, policy: QuantPolicy, x,
                     interpret: bool = False, use_pallas: bool = True,
-                    pallas_attn: bool = True, lis: bool | None = None):
+                    pallas_attn: bool = True, lis: bool | None = None,
+                    fuse_res: bool = True):
     """Run the Swin int8 pipeline on an fp image batch; returns f32 logits.
 
     ``pallas_attn`` (default ON): the fused Pallas window-attention kernel —
@@ -230,12 +237,23 @@ def serving_forward(s, qstate, cfg: SwinConfig, policy: QuantPolicy, x,
     /root/reference/config.py:32-43 — mirroring serving.serving_forward's
     first-class pair).
 
+    ``fuse_res`` (default ON): run the two per-block residual junctions as
+    fused kernels instead of XLA elementwise + standalone LN passes —
+    attention side via ops/intln.int_res_ln_requant (the window reorder
+    blocks matmul fusion), mlp side via ops/matmul_ln.int8_matmul_res_ln
+    emitting the NEXT block's norm1 codes (ViT's junction treatment,
+    serving.py). Same hoisted-reciprocal serving math; differs from the
+    unfused path only at 1-ulp divide knife edges.
+
     The patch conv runs fp (Swin has no input quantizer — constructors never
     pass input_quant, swin_quant.py:917-930), then everything downstream is
     int8 codes.
     """
     mm = int8_matmul_requant if use_pallas else int8_matmul_requant_ref
+    mm_res_ln = int8_matmul_res_ln if use_pallas else int8_matmul_res_ln_ref
+    res_ln = int_res_ln_requant if use_pallas else int_res_ln_requant_ref
     mm_kw = {"interpret": interpret} if use_pallas else {}
+    rl_kw = {"interpret": interpret} if use_pallas else {}
     lis = bool(policy.int_softmax) if lis is None else bool(lis)
     b = x.shape[0]
 
@@ -248,18 +266,24 @@ def serving_forward(s, qstate, cfg: SwinConfig, policy: QuantPolicy, x,
               interpret=interpret, use_pallas=use_pallas)
     s_prev = qstate["patch_qact"]["scale"]
 
+    final_ln = None
     for i, st in enumerate(s["stages"]):
         res = cfg.stage_res(i)
         ws = min(cfg.window_size, res)
         heads = cfg.num_heads[i]
         sqs = qstate["stages"][i]
+        nblk = len(st["blocks"])
+        h_ln = None  # norm1 codes carried out of the fused fc2 junction
         for j, sb in enumerate(st["blocks"]):
             bq = sqs["blocks"][j]
             shift = 0 if (j % 2 == 0 or res <= cfg.window_size) else ws // 2
             bs, l, c = xc.shape
             shortcut = xc
-            h = _iln(xc, s_prev, sb["norm1"], bq["qact1"]["scale"],
-                     interpret=interpret, use_pallas=use_pallas)
+            if h_ln is None:
+                h = _iln(xc, s_prev, sb["norm1"], bq["qact1"]["scale"],
+                         interpret=interpret, use_pallas=use_pallas)
+            else:
+                h = h_ln
             h = h.reshape(bs, res, res, c)
             if shift:
                 h = jnp.roll(h, (-shift, -shift), axis=(1, 2))
@@ -305,18 +329,28 @@ def serving_forward(s, qstate, cfg: SwinConfig, policy: QuantPolicy, x,
             if shift:
                 h = jnp.roll(h, (shift, shift), axis=(1, 2))
             h = h.reshape(bs, l, c)
-            # residual requant-add → block qact2 codes
-            val = (
-                shortcut.astype(jnp.float32) * s_prev
-                + h.astype(jnp.float32) * aq["qact4"]["scale"]
-            )
-            xc = jnp.clip(jnp.round(val / bq["qact2"]["scale"]), *_I8).astype(
-                jnp.int8
-            )
-            h = _iln(xc, bq["qact2"]["scale"], sb["norm2"], bq["qact3"]["scale"],
-                     interpret=interpret, use_pallas=use_pallas)
+            # residual requant-add → block qact2 codes → norm2 codes
+            if fuse_res:
+                xc_f, h = res_ln(
+                    shortcut.reshape(-1, c), s_prev, h.reshape(-1, c),
+                    aq["qact4"]["scale"], bq["qact2"]["scale"],
+                    sb["norm2"]["w"], sb["norm2"]["b"],
+                    bq["qact3"]["scale"], 1.0, **rl_kw,
+                )
+                xc = xc_f.reshape(bs, l, c)
+            else:
+                val = (
+                    shortcut.astype(jnp.float32) * s_prev
+                    + h.astype(jnp.float32) * aq["qact4"]["scale"]
+                )
+                xc = jnp.clip(jnp.round(val / bq["qact2"]["scale"]), *_I8).astype(
+                    jnp.int8
+                )
+                h = _iln(xc, bq["qact2"]["scale"], sb["norm2"],
+                         bq["qact3"]["scale"], interpret=interpret,
+                         use_pallas=use_pallas).reshape(-1, c)
             h = mm(
-                h.reshape(-1, c),
+                h,
                 sb["fc1"]["w_q"],
                 bq["qact3"]["scale"] * sb["fc1"]["sw"],
                 sb["fc1_b"],
@@ -324,20 +358,51 @@ def serving_forward(s, qstate, cfg: SwinConfig, policy: QuantPolicy, x,
                 gelu=True,
                 **mm_kw,
             )
-            h = mm(
-                h,
-                sb["fc2"]["w_q"],
-                bq["mlp_qact1"]["scale"] * sb["fc2"]["sw"] / bq["mlp_qact2"]["scale"],
-                sb["fc2_b"] / bq["mlp_qact2"]["scale"],
-                **mm_kw,
-            ).reshape(bs, l, c)
-            val = (
-                xc.astype(jnp.float32) * bq["qact2"]["scale"]
-                + h.astype(jnp.float32) * bq["mlp_qact2"]["scale"]
-            )
-            xc = jnp.clip(jnp.round(val / bq["qact4"]["scale"]), *_I8).astype(
-                jnp.int8
-            )
+            # fc2 + residual; when an LN follows in the SAME token layout
+            # (the next block's norm1, or the model-final norm), fuse it into
+            # the matmul epilogue and carry its codes forward
+            last_stage = i == len(s["stages"]) - 1
+            if fuse_res and (j + 1 < nblk or (last_stage and "downsample"
+                                              not in st)):
+                if j + 1 < nblk:
+                    ln_p = st["blocks"][j + 1]["norm1"]
+                    ln_out = sqs["blocks"][j + 1]["qact1"]["scale"]
+                else:
+                    ln_p = s["norm"]
+                    ln_out = qstate["qact2"]["scale"]
+                xc_f, h_f = mm_res_ln(
+                    h,
+                    sb["fc2"]["w_q"],
+                    bq["mlp_qact1"]["scale"] * sb["fc2"]["sw"]
+                    / bq["mlp_qact2"]["scale"],
+                    sb["fc2_b"] / bq["mlp_qact2"]["scale"],
+                    xc.reshape(-1, c),
+                    bq["mlp_qact2"]["scale"], bq["qact2"]["scale"],
+                    bq["qact4"]["scale"],
+                    ln_p["w"], ln_p["b"], ln_out, 1.0, **mm_kw,
+                )
+                xc = xc_f.reshape(bs, l, c)
+                if j + 1 < nblk:
+                    h_ln = h_f.reshape(bs, l, c)
+                else:
+                    final_ln = h_f.reshape(bs, l, c)
+            else:
+                h = mm(
+                    h,
+                    sb["fc2"]["w_q"],
+                    bq["mlp_qact1"]["scale"] * sb["fc2"]["sw"]
+                    / bq["mlp_qact2"]["scale"],
+                    sb["fc2_b"] / bq["mlp_qact2"]["scale"],
+                    **mm_kw,
+                ).reshape(bs, l, c)
+                val = (
+                    xc.astype(jnp.float32) * bq["qact2"]["scale"]
+                    + h.astype(jnp.float32) * bq["mlp_qact2"]["scale"]
+                )
+                xc = jnp.clip(jnp.round(val / bq["qact4"]["scale"]), *_I8).astype(
+                    jnp.int8
+                )
+                h_ln = None
             s_prev = bq["qact4"]["scale"]
         if "downsample" in st:
             dq = sqs["downsample"]
@@ -355,10 +420,12 @@ def serving_forward(s, qstate, cfg: SwinConfig, policy: QuantPolicy, x,
             ).reshape(b, -1, c2 // 2)
             s_prev = dq["qact2"]["scale"]
 
-    xc = _iln(xc, s_prev, s["norm"], qstate["qact2"]["scale"],
-              interpret=interpret, use_pallas=use_pallas)
+    if final_ln is None:
+        final_ln = _iln(xc, s_prev, s["norm"], qstate["qact2"]["scale"],
+                        interpret=interpret, use_pallas=use_pallas)
     # token average → qact3 codes (swin_quant.py:904-905)
-    mean_val = xc.astype(jnp.float32).mean(axis=1) * qstate["qact2"]["scale"]
+    mean_val = (final_ln.astype(jnp.float32).mean(axis=1)
+                * qstate["qact2"]["scale"])
     c3 = jnp.clip(jnp.round(mean_val / qstate["qact3"]["scale"]), *_I8).astype(
         jnp.int8
     )

@@ -130,3 +130,39 @@ def test_swin_serving_mixed_bits_matches_simulation(setup):
     for la, lb in zip(jax.tree_util.tree_leaves(a),
                       jax.tree_util.tree_leaves(bcfg)):
         np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
+def test_res_ln_requant_kernel_matches_ref():
+    """The fused residual+requant+LN kernel (interpret mode) is bit-identical
+    to its jnp twin, scalar and PTF-vector residual scales included."""
+    from p2vit_tpu.ops.intln import int_res_ln_requant, int_res_ln_requant_ref
+
+    key = jax.random.PRNGKey(0)
+    m, c = 24, 16
+    a = jax.random.randint(key, (m, c), -128, 128, jnp.int8)
+    b = jax.random.randint(jax.random.PRNGKey(1), (m, c), -128, 128, jnp.int8)
+    ln_w = jax.random.normal(jax.random.PRNGKey(2), (c,))
+    ln_b = jax.random.normal(jax.random.PRNGKey(3), (c,)) * 0.1
+    for s_out in (jnp.float32(0.07),
+                  2.0 ** jax.random.randint(key, (c,), -6, -2).astype(
+                      jnp.float32) * 0.05):
+        got = int_res_ln_requant(a, 0.03, b, 0.05, s_out, ln_w, ln_b,
+                                 0.02, 1.0, interpret=True)
+        want = int_res_ln_requant_ref(a, 0.03, b, 0.05, s_out, ln_w, ln_b,
+                                      0.02, 1.0)
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+def test_swin_fuse_res_matches_unfused(setup):
+    """fuse_res=True (fused junction kernels) tracks the unfused path —
+    identical up to 1-ulp divide knife edges — and agrees on argmax."""
+    policy, params, x, calib = setup
+    ss = serving_swin.convert(params, calib.qstate, TINY, policy, 8)
+    fused = np.asarray(serving_swin.serving_forward(
+        ss, calib.qstate, TINY, policy, x, use_pallas=False, fuse_res=True))
+    plain = np.asarray(serving_swin.serving_forward(
+        ss, calib.qstate, TINY, policy, x, use_pallas=False, fuse_res=False))
+    rel = np.linalg.norm(fused - plain) / max(np.linalg.norm(plain), 1e-9)
+    assert rel < 0.02, f"fused junctions diverge: rel={rel}"
+    assert (fused.argmax(1) == plain.argmax(1)).all()

@@ -29,26 +29,31 @@ import jax
 import jax.numpy as jnp
 
 
-def device_time(step, x, iters: int = 10, repeats: int = 3) -> float:
-    """Best-of-``repeats`` seconds per call of ``step(x) -> array``.
+def device_time(step, x, *consts, iters: int = 10, repeats: int = 3) -> float:
+    """Best-of-``repeats`` seconds per call of ``step(x, *consts) -> array``.
 
     ``step`` must be jit-compatible; the returned array's sum is used as the
     serializing data dependency between iterations.
+
+    ``consts`` (pytrees) are passed through as RUNTIME arguments. Pass big
+    state (weights) here rather than closing over it: a closure inlines the
+    arrays as HLO constants, and on the tunneled TPU a ViT-L-sized program
+    exceeds the remote-compile request cap (HTTP 413).
     """
 
     @jax.jit
-    def run(x0):
+    def run(x0, *cs):
         def body(_, acc):
-            y = step(x0 + (0.0 * acc).astype(x0.dtype))
+            y = step(x0 + (0.0 * acc).astype(x0.dtype), *cs)
             return y.sum().astype(jnp.float32)
 
         return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
 
-    float(run(x))  # compile + warm
+    float(run(x, *consts))  # compile + warm
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
-        float(run(x))
+        float(run(x, *consts))
         best = min(best, time.perf_counter() - t0)
     return best / iters
 

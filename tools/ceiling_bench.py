@@ -54,17 +54,22 @@ MXU_TOPS = 203e12  # measured int8 matmul kernel peak (BENCH.md 2026-08-17)
 BATCH = {"deit_tiny_patch16_224": 256, "deit_small_patch16_224": 256,
          "deit_base_patch16_224": 128, "vit_base_patch16_224": 128,
          "vit_large_patch16_224": 64}
-DEPTHS = (3, 6, 12)
+def _depths(depth: int):
+    """Sweep points: quarter/half/full depth — the full-depth run doubles
+    as the measured e2e."""
+    return (max(depth // 4, 1), depth // 2, depth)
 
 
-def _t(fn, x, iters=20, repeats=3):
-    def step(xx):
-        out = fn(xx)
+def _t(fn, x, *consts, iters=20, repeats=3):
+    def step(xx, *cs):
+        out = fn(xx, *cs)
         if isinstance(out, tuple):
             out = sum(o.sum().astype(jnp.float32) for o in out)
         return out
 
-    return device_time(step, x, iters=iters, repeats=repeats) * 1e3
+    # big state rides as a runtime arg (device_time docstring: closures
+    # inline it as HLO constants → HTTP 413 at ViT-L size)
+    return device_time(step, x, *consts, iters=iters, repeats=repeats) * 1e3
 
 
 def mxu_floor_ms(cfg, B):
@@ -91,26 +96,27 @@ def sweep(model: str):
 
     e2e = {}
     s_last = None
+    depths = _depths(cfg0.depth)
     for lis in (True, "bypass", False):
         times = []
-        for D in DEPTHS:
+        for D in depths:
             cfg = dataclasses.replace(cfg0, depth=D)
             params = vit.init_params(jax.random.PRNGKey(0), cfg)
             qstate = vit.synthetic_qstate(cfg)
             s = serving.convert(params, qstate, cfg, policy,
                                 [8] * cfg.num_matmuls)
             s_last = s
-            ms = _t(lambda xx: serving.serving_forward(
-                s, cfg, xx, use_pallas=True, lis=lis), x)
+            ms = _t(lambda xx, ss: serving.serving_forward(
+                ss, cfg, xx, use_pallas=True, lis=lis), x, s)
             times.append(ms)
             print(f"  lis={lis!s:6s} depth={D:2d}  {ms:8.3f} ms")
-        slope, icept = np.polyfit(DEPTHS, times, 1)
+        slope, icept = np.polyfit(depths, times, 1)
         e2e[lis] = (slope, icept, times)
         print(f"  lis={lis!s:6s}: per-layer {slope:.3f} ms, "
               f"embed+head+glue {icept:.3f} ms")
     r["layer_ms"] = round(e2e[True][0], 4)
     r["intercept_ms"] = round(e2e[True][1], 4)
-    r["e2e_ms"] = round(e2e[True][2][-1], 3) if DEPTHS[-1] == cfg0.depth \
+    r["e2e_ms"] = round(e2e[True][2][-1], 3) if depths[-1] == cfg0.depth \
         else None
     # bypass replaces the whole softmax/LIS chain with one multiply (same
     # dots, same requants, same DMA) → slope deltas are the in-situ chain
@@ -120,9 +126,9 @@ def sweep(model: str):
     r["fp_softmax_chain_ms"] = round(e2e[False][0] - e2e["bypass"][0], 4)
 
     # --- intercept itemization: the embed prologue standalone
-    t_embed = _t(lambda xx: serving.embed_codes(
-        s_last, dataclasses.replace(cfg0, depth=DEPTHS[0]), xx,
-        use_pallas=True), x)
+    t_embed = _t(lambda xx, ss: serving.embed_codes(
+        ss, dataclasses.replace(cfg0, depth=depths[0]), xx,
+        use_pallas=True), x, s_last)
     r["embed_ms"] = round(t_embed, 4)
 
     # --- differential standalone pairs at this geometry

@@ -42,6 +42,7 @@ from .ops.intln import (
 )
 from .ops.matmul_int8 import int8_matmul_requant, int8_matmul_requant_ref
 from .ops.matmul_ln import int8_matmul_res_ln, int8_matmul_res_ln_ref
+from .ops.swin_stem import fused_swin_stem
 
 _I8 = (-128, 127)
 _ROW = {4: 2, 8: 3}
@@ -219,12 +220,12 @@ def _bias_values(sb, aq, ws, n, n_heads):
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "policy", "interpret", "use_pallas",
-                     "pallas_attn", "lis", "fuse_res"),
+                     "pallas_attn", "lis", "fuse_res", "fuse_stem"),
 )
 def serving_forward(s, qstate, cfg: SwinConfig, policy: QuantPolicy, x,
                     interpret: bool = False, use_pallas: bool = True,
                     pallas_attn: bool = True, lis: bool | None = None,
-                    fuse_res: bool = True):
+                    fuse_res: bool = True, fuse_stem: bool = False):
     """Run the Swin int8 pipeline on an fp image batch; returns f32 logits.
 
     ``pallas_attn`` (default ON): the fused Pallas window-attention kernel —
@@ -245,6 +246,11 @@ def serving_forward(s, qstate, cfg: SwinConfig, policy: QuantPolicy, x,
     serving.py). Same hoisted-reciprocal serving math; differs from the
     unfused path only at 1-ulp divide knife edges.
 
+    ``fuse_stem`` (default OFF — A/B'd a wash on chip, 2514 vs 2503 img/s
+    Swin-T batch 64 2026-08-17: Mosaic already hides the staged stem's
+    passes behind compute): run the patch stem as one kernel
+    (ops/swin_stem.py), bit-exact-tested against its twin either way.
+
     The patch conv runs fp (Swin has no input quantizer — constructors never
     pass input_quant, swin_quant.py:917-930), then everything downstream is
     int8 codes.
@@ -259,11 +265,22 @@ def serving_forward(s, qstate, cfg: SwinConfig, policy: QuantPolicy, x,
 
     # fp patch stem against fake-quantized weights (sim parity)
     pw = s["patch"]["w_q"].astype(jnp.float32) * s["patch"]["sw"][:, None]
-    h = _patches(x, cfg.patch_size) @ pw.T + s["patch_b"]
-    sq_bn = qstate["patch_qact_bn"]["scale"]
-    xc = jnp.clip(jnp.round(h / sq_bn), *_I8).astype(jnp.int8)
-    xc = _iln(xc, sq_bn, s["patch_norm"], qstate["patch_qact"]["scale"],
-              interpret=interpret, use_pallas=use_pallas)
+    px = _patches(x, cfg.patch_size)
+    if fuse_stem and use_pallas:
+        # one kernel: f32 matmul + bias + requant + patch-norm int-LN
+        # (ops/swin_stem.py; 2.2 ms of staged prologue otherwise)
+        xc = fused_swin_stem(
+            px.reshape(-1, px.shape[-1]), pw, s["patch_b"],
+            qstate["patch_qact_bn"]["scale"], s["patch_norm"]["w"],
+            s["patch_norm"]["b"], qstate["patch_qact"]["scale"],
+            interpret=interpret,
+        ).reshape(b, px.shape[1], -1)
+    else:
+        h = px @ pw.T + s["patch_b"]
+        sq_bn = qstate["patch_qact_bn"]["scale"]
+        xc = jnp.clip(jnp.round(h / sq_bn), *_I8).astype(jnp.int8)
+        xc = _iln(xc, sq_bn, s["patch_norm"], qstate["patch_qact"]["scale"],
+                  interpret=interpret, use_pallas=use_pallas)
     s_prev = qstate["patch_qact"]["scale"]
 
     final_ln = None

@@ -166,3 +166,36 @@ def test_swin_fuse_res_matches_unfused(setup):
     rel = np.linalg.norm(fused - plain) / max(np.linalg.norm(plain), 1e-9)
     assert rel < 0.02, f"fused junctions diverge: rel={rel}"
     assert (fused.argmax(1) == plain.argmax(1)).all()
+
+
+def test_swin_stem_kernel_matches_ref():
+    """The fused patch-stem kernel (interpret mode) is bit-identical to its
+    jnp twin."""
+    from p2vit_tpu.ops.swin_stem import fused_swin_stem, fused_swin_stem_ref
+
+    m, k, c = 32, 48, 16
+    px = jax.random.normal(jax.random.PRNGKey(0), (m, k))
+    w = jax.random.normal(jax.random.PRNGKey(1), (c, k)) * 0.2
+    bias = jax.random.normal(jax.random.PRNGKey(2), (c,)) * 0.05
+    ln_w = jax.random.normal(jax.random.PRNGKey(3), (c,))
+    ln_b = jax.random.normal(jax.random.PRNGKey(4), (c,)) * 0.1
+    got = fused_swin_stem(px, w, bias, 0.04, ln_w, ln_b, 0.03,
+                          interpret=True)
+    want = fused_swin_stem_ref(px, w, bias, 0.04, ln_w, ln_b, 0.03)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_swin_fuse_stem_matches_unfused(setup):
+    """fuse_stem tracks the staged stem (identical up to f32 dot tiling
+    knife edges) and agrees on argmax."""
+    policy, params, x, calib = setup
+    ss = serving_swin.convert(params, calib.qstate, TINY, policy, 8)
+    fused = np.asarray(serving_swin.serving_forward(
+        ss, calib.qstate, TINY, policy, x, use_pallas=True, interpret=True,
+        fuse_stem=True))
+    plain = np.asarray(serving_swin.serving_forward(
+        ss, calib.qstate, TINY, policy, x, use_pallas=True, interpret=True,
+        fuse_stem=False))
+    rel = np.linalg.norm(fused - plain) / max(np.linalg.norm(plain), 1e-9)
+    assert rel < 0.02, f"fused stem diverges: rel={rel}"
+    assert (fused.argmax(1) == plain.argmax(1)).all()

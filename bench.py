@@ -40,15 +40,20 @@ def _ensure_live_backend():
 
     The axon plugin initializes its tunnel client inside jax.devices(); a
     dead tunnel blocks forever in make_c_api_client, which would hang the
-    whole benchmark. Probe in a subprocess with a timeout and drop the
-    plugin on failure — a CPU JSON line beats a hung driver."""
+    whole benchmark. A half-dead tunnel also exists (observed 2026-08-17):
+    jax.devices() answers but the first compile/execute blocks forever —
+    so the probe runs an actual computation, not just the handshake.
+    Probe in a subprocess with a timeout and drop the plugin on failure —
+    a CPU JSON line beats a hung driver."""
     import os
     import subprocess
     import sys
 
     try:
         subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp; jax.devices(); "
+             "assert float(jnp.ones((8, 8)).sum()) == 64.0"],
             timeout=150, check=True, capture_output=True,
         )
     except (subprocess.TimeoutExpired, subprocess.CalledProcessError):

@@ -151,3 +151,34 @@ def test_pipeline_serving_matches_single_device(calibrated, n_micro):
                                     interpret=True)
     )
     np.testing.assert_array_equal(single, piped)
+
+
+def test_swin_dp_serving_matches_single_device():
+    """Swin scale-out rides the ("data",) mesh axis (DESIGN.md: the token
+    pyramid breaks the PP premises): int8 Swin serving with the state
+    replicated and the batch DP-sharded is bitwise equal per example —
+    including the fused residual-junction kernels' twins."""
+    from p2vit_tpu import serving_swin
+    from p2vit_tpu.models import swin as swin_mod
+
+    cfg = swin_mod.SwinConfig(
+        img_size=32, patch_size=4, num_classes=10, embed_dim=16,
+        depths=(2, 2), num_heads=(2, 2), window_size=4,
+    )
+    policy = make_policy()
+    params = swin_mod.init_params(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 3, 32, 32))
+    calib = swin_mod.calibrate(params, cfg, policy, x)
+    ss = serving_swin.convert(params, calib.qstate, cfg, policy, 8)
+    single = np.asarray(serving_swin.serving_forward(
+        ss, calib.qstate, cfg, policy, x, use_pallas=False))
+
+    m = pmesh.make_mesh(8, model_parallel=1)
+    with m:
+        rstate = pmesh.replicate(ss, m)
+        rq = pmesh.replicate(calib.qstate, m)
+        out = np.asarray(jax.jit(
+            lambda xx: serving_swin.serving_forward(
+                rstate, rq, cfg, policy, xx, use_pallas=False)
+        )(pmesh.shard_batch(m, x)))
+    np.testing.assert_array_equal(out, single)

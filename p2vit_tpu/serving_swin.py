@@ -220,12 +220,14 @@ def _bias_values(sb, aq, ws, n, n_heads):
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "policy", "interpret", "use_pallas",
-                     "pallas_attn", "lis", "fuse_res", "fuse_stem"),
+                     "pallas_attn", "lis", "fuse_res", "fuse_stem",
+                     "reorder"),
 )
 def serving_forward(s, qstate, cfg: SwinConfig, policy: QuantPolicy, x,
                     interpret: bool = False, use_pallas: bool = True,
                     pallas_attn: bool = True, lis: bool | None = None,
-                    fuse_res: bool = True, fuse_stem: bool = False):
+                    fuse_res: bool = True, fuse_stem: bool = False,
+                    reorder: str = "real"):
     """Run the Swin int8 pipeline on an fp image batch; returns f32 logits.
 
     ``pallas_attn`` (default ON): the fused Pallas window-attention kernel —
@@ -301,10 +303,18 @@ def serving_forward(s, qstate, cfg: SwinConfig, policy: QuantPolicy, x,
                          interpret=interpret, use_pallas=use_pallas)
             else:
                 h = h_ln
-            h = h.reshape(bs, res, res, c)
-            if shift:
-                h = jnp.roll(h, (-shift, -shift), axis=(1, 2))
-            hw = window_partition(h, ws)
+            if reorder == "bypass":
+                # TIMING-ONLY (tools): group 49 CONSECUTIVE tokens instead
+                # of spatial windows — same shapes, same DMA, same compute,
+                # zero permutation copies. The e2e delta vs "real" is the
+                # in-situ cost of partition/reverse/roll. MATH IS WRONG for
+                # real windows; never a serving mode.
+                hw = h.reshape(-1, ws, ws, c)
+            else:
+                h = h.reshape(bs, res, res, c)
+                if shift:
+                    h = jnp.roll(h, (-shift, -shift), axis=(1, 2))
+                hw = window_partition(h, ws)
             aq = bq["attn"]
             hw = mm(
                 hw.reshape(-1, c),
@@ -342,10 +352,13 @@ def serving_forward(s, qstate, cfg: SwinConfig, policy: QuantPolicy, x,
                 sb["proj_b"] / aq["qact4"]["scale"],
                 **mm_kw,
             ).reshape(-1, ws, ws, c)
-            h = window_reverse(hw.reshape(-1, ws * ws, c), ws, res, res)
-            if shift:
-                h = jnp.roll(h, (shift, shift), axis=(1, 2))
-            h = h.reshape(bs, l, c)
+            if reorder == "bypass":
+                h = hw.reshape(bs, l, c)
+            else:
+                h = window_reverse(hw.reshape(-1, ws * ws, c), ws, res, res)
+                if shift:
+                    h = jnp.roll(h, (shift, shift), axis=(1, 2))
+                h = h.reshape(bs, l, c)
             # residual requant-add → block qact2 codes → norm2 codes
             if fuse_res:
                 xc_f, h = res_ln(

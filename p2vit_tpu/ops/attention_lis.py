@@ -338,15 +338,15 @@ def heads_attention(qkv, rq, s_attn, ro, *, n_valid, lis_bits, qmin, qmax, c,
         attn_c = jnp.clip(jnp.round(acc2.astype(jnp.float32) * rq), qmin, qmax)
         col = jax.lax.broadcasted_iota(jnp.int32, attn_c.shape, 2)
         attn_c = jnp.where(col < n_valid, attn_c, jnp.float32(qmin))
-        if lis is True:
-            attn_pot = _lis_from_scores(attn_c, s_attn, col, n_valid, lis_bits)
-        elif lis == "bypass":
+        if lis == "bypass":
             # TIMING-ONLY mode (tools/ceiling_bench.py): replace the whole
             # softmax/LIS chain with one multiply, keeping every dot, every
             # requant and all DMA identical — the e2e slope difference vs
             # lis=True is the in-situ cost of the mandated LIS chain. The
             # math is WRONG (no normalization); never a serving mode.
             attn_pot = attn_c * s_attn
+        elif lis:  # any truthy value (True, np.True_, 1) means LIS-on
+            attn_pot = _lis_from_scores(attn_c, s_attn, col, n_valid, lis_bits)
         else:
             attn_pot = _fp_softmax_from_scores(attn_c, s_attn, col, n_valid)
         av = jax.lax.dot_general(

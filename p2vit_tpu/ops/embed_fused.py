@@ -170,6 +170,12 @@ def fused_patch_embed(
 
     while g > 1 and _vmem_bytes(g) > 12 * 2**20:
         g -= 1
+    if _vmem_bytes(g) > 14 * 2**20:
+        raise ValueError(
+            f"fused_patch_embed working set ~{_vmem_bytes(g) / 2**20:.1f} "
+            f"MiB at images_per_step=1 exceeds the ~16 MiB scoped-VMEM "
+            f"budget for this geometry; use fuse_embed=False"
+        )
     bpad = (-b) % g
     if bpad:
         px = jnp.pad(px, ((0, bpad), (0, 0), (0, 0)))

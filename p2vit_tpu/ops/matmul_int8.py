@@ -188,6 +188,16 @@ def pack_int4(w_q: jnp.ndarray) -> jnp.ndarray:
     """
     n, k = w_q.shape
     assert k % 2 == 0
+    if not isinstance(w_q, jax.core.Tracer):
+        import numpy as np
+
+        wv = np.asarray(w_q)
+        if wv.min() < -8 or wv.max() > 7:
+            raise ValueError(
+                f"pack_int4 expects int4 codes in [-8, 7]; got "
+                f"[{wv.min()}, {wv.max()}] — `& 0xF` would silently corrupt "
+                f"out-of-range values (w=-100 packs as 12)"
+            )
     lo = w_q[:, : k // 2].astype(jnp.int32) & 0xF
     hi = w_q[:, k // 2 :].astype(jnp.int32) & 0xF
     return (lo | (hi << 4)).astype(jnp.int8)
@@ -244,7 +254,7 @@ def int4_matmul_requant(
     block_m, block_n = _pick_blocks(m, n, block_m, block_n)
     # pad half-K to a lane multiple on BOTH halves (x halves padded alike)
     khalf = k2 // 2
-    kh_pad = -(-khalf) % 128
+    kh_pad = (-khalf) % 128
     if kh_pad:
         xa = jnp.pad(x_q[:, :khalf], ((0, 0), (0, kh_pad)))
         xb = jnp.pad(x_q[:, khalf:], ((0, 0), (0, kh_pad)))

@@ -58,6 +58,20 @@ def device_time(step, x, *consts, iters: int = 10, repeats: int = 3) -> float:
     return best / iters
 
 
+def device_time_ms(fn, x, *consts, iters: int = 20, repeats: int = 3) -> float:
+    """``device_time`` adapter shared by the tools/ benches: sums tuple
+    outputs into the serializing data dependency and returns MILLISECONDS.
+    One definition so a timing-methodology fix lands everywhere at once."""
+
+    def step(xx, *cs):
+        out = fn(xx, *cs)
+        if isinstance(out, tuple):
+            out = sum(o.sum().astype(jnp.float32) for o in out)
+        return out
+
+    return device_time(step, x, *consts, iters=iters, repeats=repeats) * 1e3
+
+
 @contextlib.contextmanager
 def trace(logdir: str):
     """XLA profiler trace (view with TensorBoard/xprof).

@@ -262,3 +262,13 @@ def test_scan_layers_bit_identical():
         a = np.asarray(serving.serving_forward(ss, cfg, x, scan_layers=True, **kw))
         b = np.asarray(serving.serving_forward(ss, cfg, x, scan_layers=False, **kw))
         np.testing.assert_array_equal(a, b, err_msg=str(kw))
+
+
+def test_pack_int4_rejects_out_of_range_codes():
+    """`& 0xF` would silently corrupt non-int4 codes (w=-100 packs as 12);
+    pack_int4 must refuse them loudly."""
+    from p2vit_tpu.ops.matmul_int8 import pack_int4
+
+    w = jnp.full((4, 8), -100, jnp.int8)
+    with pytest.raises(ValueError, match="int4 codes"):
+        pack_int4(w)

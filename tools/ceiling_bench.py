@@ -48,7 +48,7 @@ import numpy as np
 from p2vit_tpu.config import make_policy
 from p2vit_tpu.models import VIT_ZOO, vit
 from p2vit_tpu import serving
-from p2vit_tpu.profiling import device_time
+from p2vit_tpu.profiling import device_time_ms
 
 MXU_TOPS = 203e12  # measured int8 matmul kernel peak (BENCH.md 2026-08-17)
 BATCH = {"deit_tiny_patch16_224": 256, "deit_small_patch16_224": 256,
@@ -61,15 +61,9 @@ def _depths(depth: int):
 
 
 def _t(fn, x, *consts, iters=20, repeats=3):
-    def step(xx, *cs):
-        out = fn(xx, *cs)
-        if isinstance(out, tuple):
-            out = sum(o.sum().astype(jnp.float32) for o in out)
-        return out
-
     # big state rides as a runtime arg (device_time docstring: closures
     # inline it as HLO constants → HTTP 413 at ViT-L size)
-    return device_time(step, x, *consts, iters=iters, repeats=repeats) * 1e3
+    return device_time_ms(fn, x, *consts, iters=iters, repeats=repeats)
 
 
 def mxu_floor_ms(cfg, B):
@@ -97,6 +91,12 @@ def sweep(model: str):
     e2e = {}
     s_last = None
     depths = _depths(cfg0.depth)
+    # one program VARIANT for every sweep point: serving_forward flips to
+    # lax.scan only above depth 12 by default, which would mix unrolled
+    # (quarter/half) with scan (full) points for ViT-L and smear the scan
+    # overhead (~2.7%, BENCH.md) into the fitted slope/intercept. Pin the
+    # variant the model DEPLOYS with at full depth.
+    scan = cfg0.depth > 12
     for lis in (True, "bypass", False):
         times = []
         for D in depths:
@@ -107,7 +107,8 @@ def sweep(model: str):
                                 [8] * cfg.num_matmuls)
             s_last = s
             ms = _t(lambda xx, ss: serving.serving_forward(
-                ss, cfg, xx, use_pallas=True, lis=lis), x, s)
+                ss, cfg, xx, use_pallas=True, lis=lis,
+                scan_layers=scan), x, s)
             times.append(ms)
             print(f"  lis={lis!s:6s} depth={D:2d}  {ms:8.3f} ms")
         slope, icept = np.polyfit(depths, times, 1)

@@ -25,19 +25,13 @@ from p2vit_tpu.config import make_policy
 from p2vit_tpu.models import VIT_ZOO, vit
 from p2vit_tpu.models.common import extract_patches
 from p2vit_tpu import serving
-from p2vit_tpu.profiling import device_time
+from p2vit_tpu.profiling import device_time_ms
 
 _I8 = (-128.0, 127.0)
 
 
 def _t(fn, x, iters=50, repeats=3):
-    def step(xx):
-        out = fn(xx)
-        if isinstance(out, tuple):
-            out = sum(o.sum().astype(jnp.float32) for o in out)
-        return out
-
-    return device_time(step, x, iters=iters, repeats=repeats) * 1e3
+    return device_time_ms(fn, x, iters=iters, repeats=repeats)
 
 
 def main():

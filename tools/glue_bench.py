@@ -25,7 +25,7 @@ from p2vit_tpu.config import make_policy
 from p2vit_tpu.models import VIT_ZOO, vit
 from p2vit_tpu.models.common import extract_patches
 from p2vit_tpu import serving
-from p2vit_tpu.profiling import device_time
+from p2vit_tpu.profiling import device_time_ms
 
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 256
 MODEL = sys.argv[2] if len(sys.argv) > 2 else "deit_small_patch16_224"
@@ -34,7 +34,7 @@ RESULTS: dict = {}
 
 
 def t(name, fn, x, iters=100):
-    ms = device_time(jax.jit(fn), x, iters=iters, repeats=3) * 1e3
+    ms = device_time_ms(jax.jit(fn), x, iters=iters, repeats=3)
     RESULTS[name] = round(ms, 4)
     print(f"{name:38s} {ms:8.3f} ms")
     return ms

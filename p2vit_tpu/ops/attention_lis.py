@@ -464,28 +464,23 @@ def lis_attention_qkv_fused(
     return out[:b, :n, :]
 
 
-def _swin_kernel(
-    s_ref, qkv_ref, bias_ref, mask_ref, o_ref, *, n_valid, lis_bits, qmin,
-    qmax, c, d, num_heads, lis, has_mask,
-):
-    """Fused quantized Swin attention, G windows per grid step (heads
-    unrolled; score matrices never leave VMEM). Batching windows amortizes
-    the per-step grid overhead — stage 0 has B·64 windows, far too many for
-    one step each.
+def _swin_head_loop(qkv, bias, mask_add, rq, s1, inv_s2, ro, *, n_valid,
+                    nfull, lis_bits, qmin, qmax, c, d, num_heads, lis):
+    """Shared per-head windowed-attention math over a (G, NF, 3C) qkv panel
+    (ref or value) → (G, NF, C) int8 value. The body of _swin_kernel and
+    _swin_folded_kernel — one source so the two stay bit-identical.
 
     Math mirrors serving_swin._window_attention_codes exactly:
     q@kᵀ int32 → qact_attn1 codes → +rel-pos bias → /s2 (qact2 codes) →
     (+shift mask/s2, added unrounded like the simulation) → LIS / fp
     softmax → @v → qact3 codes.
     """
-    rq, s1, inv_s2, ro = s_ref[0, 0], s_ref[0, 1], s_ref[0, 2], s_ref[0, 3]
-    g, nfull, _ = qkv_ref.shape
     nr = _chain_rows(n_valid, nfull)  # 49→56 instead of 64 for 7×7 windows
     outs = []
     for h in range(num_heads):
-        qm = qkv_ref[:, :, h * d : (h + 1) * d]
-        km = qkv_ref[:, :, c + h * d : c + (h + 1) * d]
-        vm = qkv_ref[:, :, 2 * c + h * d : 2 * c + (h + 1) * d]
+        qm = qkv[:, :, h * d : (h + 1) * d]
+        km = qkv[:, :, c + h * d : c + (h + 1) * d]
+        vm = qkv[:, :, 2 * c + h * d : 2 * c + (h + 1) * d]
         acc = jax.lax.dot_general(
             qm, km, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.int32,
@@ -494,13 +489,13 @@ def _swin_kernel(
         attn_c = jnp.clip(jnp.round(acc.astype(jnp.float32) * rq), qmin, qmax)
         # full-block ref reads, then VALUE slices to the trimmed rows — a
         # row-sliced ref read lowers to an unsupported Mosaic gather
-        bias_h = bias_ref[h][None]
+        bias_h = bias[h][None]
         attn2 = jnp.clip(
             jnp.round((attn_c * s1 + bias_h[:, :nr, :]) * inv_s2),
             qmin, qmax,
         )
-        if has_mask:
-            attn2 = attn2 + mask_ref[...][:, :nr, :]
+        if mask_add is not None:
+            attn2 = attn2 + mask_add[:, :nr, :]
         col = jax.lax.broadcasted_iota(jnp.int32, attn2.shape, 2)
         # park padded key columns so they can't win the row max
         attn2 = jnp.where(col < n_valid, attn2, jnp.float32(-(2.0**30)))
@@ -520,7 +515,63 @@ def _swin_kernel(
         )  # (G, NR, d)
         out = jnp.clip(jnp.round(av * ro), qmin, qmax)
         outs.append(_zero_pad_rows(out, nfull).astype(jnp.int8))
-    o_ref[...] = jnp.concatenate(outs, axis=-1)
+    return jnp.concatenate(outs, axis=-1)
+
+
+def _swin_kernel(
+    s_ref, qkv_ref, bias_ref, mask_ref, o_ref, *, n_valid, lis_bits, qmin,
+    qmax, c, d, num_heads, lis, has_mask,
+):
+    """Fused quantized Swin attention, G windows per grid step (heads
+    unrolled; score matrices never leave VMEM). Batching windows amortizes
+    the per-step grid overhead — stage 0 has B·64 windows, far too many for
+    one step each. Math: _swin_head_loop."""
+    rq, s1, inv_s2, ro = s_ref[0, 0], s_ref[0, 1], s_ref[0, 2], s_ref[0, 3]
+    g, nfull, _ = qkv_ref.shape
+    mask_add = mask_ref[...] if has_mask else None
+    o_ref[...] = _swin_head_loop(
+        qkv_ref, bias_ref, mask_add, rq, s1, inv_s2, ro, n_valid=n_valid,
+        nfull=nfull, lis_bits=lis_bits, qmin=qmin, qmax=qmax, c=c, d=d,
+        num_heads=num_heads, lis=lis,
+    )
+
+
+def _swin_folded_kernel(
+    s_ref, qkv_ref, bias_ref, mask_ref, o_ref, *, ws, nwx, s_strips, nfull,
+    lis_bits, qmin, qmax, c, d, num_heads, lis, has_mask,
+):
+    """Folded-layout Swin attention: one grid step consumes S contiguous
+    (ws, res, 3C) raster ROW-STRIPS (each = nwx windows), relayouts them to
+    window panels IN VMEM, runs _swin_head_loop, and writes the output back
+    in raster layout. window_partition/window_reverse never touch HBM —
+    the strip fetch is one contiguous DMA and the (ws, nwx·ws) ↔
+    (nwx, ws·ws) shuffle is in-register (sublane-dim split + above-lane
+    transpose; the lane dim 3C is never split).
+
+    Rows are zero-padded to the same 32-multiple ``nfull`` the two-step
+    kernel uses so every reduction tree matches shape-for-shape — required
+    for BIT equality of the fp-softmax (lis=False) path, whose f32 sums
+    round differently at 49 vs 64 elements."""
+    rq, s1, inv_s2, ro = s_ref[0, 0], s_ref[0, 1], s_ref[0, 2], s_ref[0, 3]
+    g, n = nwx, ws * ws
+    strip = qkv_ref[...]  # (S, ws, g·ws, 3C), one contiguous raster chunk
+    w5 = strip.reshape(s_strips, ws, g, ws, 3 * c).transpose(0, 2, 1, 3, 4)
+    qkv = w5.reshape(s_strips * g, n, 3 * c)  # window panels, (b, wy, wx) order
+    qkv = jnp.pad(qkv, ((0, 0), (0, nfull - n), (0, 0)))
+    if has_mask:
+        m = mask_ref[...]  # (g, NF, NF): this row's nwx per-window masks
+        mask_add = jnp.broadcast_to(
+            m[None], (s_strips, g, nfull, nfull)
+        ).reshape(s_strips * g, nfull, nfull)
+    else:
+        mask_add = None
+    out = _swin_head_loop(
+        qkv, bias_ref, mask_add, rq, s1, inv_s2, ro, n_valid=n, nfull=nfull,
+        lis_bits=lis_bits, qmin=qmin, qmax=qmax, c=c, d=d,
+        num_heads=num_heads, lis=lis,
+    )[:, :n, :]  # (S·g, n, C)
+    o5 = out.reshape(s_strips, g, ws, ws, c).transpose(0, 2, 1, 3, 4)
+    o_ref[...] = o5.reshape(s_strips, ws, g * ws, c)
 
 
 @functools.partial(
@@ -618,6 +669,104 @@ def swin_lis_attention(
         interpret=interpret,
     )(scalars, qkv_p, bias_p, mask_p)
     return out[:w, :n, :]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_heads", "window", "lis_bits", "lis", "interpret"),
+)
+def swin_lis_attention_folded(
+    qkv_r: jnp.ndarray,
+    bias: jnp.ndarray,
+    mask,
+    num_heads: int,
+    window: int,
+    score_requant,
+    attn_scale,
+    s2,
+    out_requant,
+    lis_bits: int = 4,
+    lis: bool = True,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Zero-copy windowed attention over RASTER-layout qkv codes.
+
+    Same math/calibrated-state contract as swin_lis_attention, but the
+    input is the unpartitioned (B, res, res, 3C) qkv grid (rolled already
+    for shifted blocks) and the output comes back in the same raster
+    layout — the XLA window_partition/window_reverse copies (measured
+    2.11 ms = 8.6% of Swin-T e2e, BENCH.md reorder-bypass probe) are
+    replaced by an in-kernel relayout of contiguous row-strips. Bit-
+    identical to partition → swin_lis_attention → reverse (shared
+    _swin_head_loop; asserted in tests/test_swin_serving.py).
+
+    Args:
+      qkv_r: (B, res, res, 3C) int8 qkv codes in image-raster layout.
+      bias/mask/scales: as in swin_lis_attention (mask already /s2; window
+        i of each image uses mask[i], (b, wy, wx) order).
+    Returns (B, res, res, C) int8 attention-output codes, raster layout.
+    """
+    b, res, res2, c3 = qkv_r.shape
+    ws = window
+    assert res == res2 and res % ws == 0 and res > ws, (res, ws)
+    c = c3 // 3
+    d = c // num_heads
+    g = res // ws  # windows per row-strip (= nwx = nwy)
+    n = ws * ws
+    npad = (-n) % 32
+    nfull = n + npad  # match the two-step kernel's row/key padding exactly
+    has_mask = mask is not None
+    # windows per grid step ≈ the two-step kernel's cap (16 LIS-on; VMEM-
+    # bounded for the fp32-contract LIS-off path) in whole row-strips
+    g_cap = 16 if lis else max(1, min(16, 3072 // c))
+    s_strips = max(1, g_cap // g)
+    bpad = (-b) % s_strips
+    qkv_p = jnp.pad(qkv_r, ((0, bpad), (0, 0), (0, 0), (0, 0))) if bpad else qkv_r
+    bfull = b + bpad
+    bias_p = jnp.pad(bias, ((0, 0), (0, npad), (0, npad))) if npad else bias
+    if has_mask:
+        assert mask.shape == (g * g, n, n), (mask.shape, g, n)
+        mask_p = (
+            jnp.pad(mask, ((0, 0), (0, npad), (0, npad))) if npad else mask
+        ).astype(jnp.float32)
+    else:
+        mask_p = jnp.zeros((g, nfull, nfull), jnp.float32)  # dummy; never read
+    scalars = jnp.stack(
+        [
+            jnp.asarray(score_requant, jnp.float32),
+            jnp.asarray(attn_scale, jnp.float32),
+            1.0 / jnp.asarray(s2, jnp.float32),
+            jnp.asarray(out_requant, jnp.float32),
+        ]
+    ).reshape(1, 4)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _swin_folded_kernel, ws=ws, nwx=g, s_strips=s_strips,
+            nfull=nfull, lis_bits=lis_bits, qmin=-128.0, qmax=127.0, c=c,
+            d=d, num_heads=num_heads, lis=lis, has_mask=has_mask,
+        ),
+        grid=(bfull // s_strips, g),  # batch-major: strips sweep rows
+        in_specs=[
+            pl.BlockSpec((1, 4), lambda bs, r: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((s_strips, ws, res, c3), lambda bs, r: (bs, r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_heads, nfull, nfull), lambda bs, r: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, nfull, nfull),
+                         (lambda bs, r: (r, 0, 0)) if has_mask
+                         else (lambda bs, r: (0, 0, 0)),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (s_strips, ws, res, c), lambda bs, r: (bs, r, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((bfull, res, res, c), jnp.int8),
+        interpret=interpret,
+    )(scalars, qkv_p, bias_p, mask_p)
+    return out[:b]
 
 
 def lis_attention_ref(

@@ -33,6 +33,7 @@ from .ops.attention_lis import (
     _fp_softmax_from_scores,
     _lis_from_scores,
     swin_lis_attention,
+    swin_lis_attention_folded,
 )
 from .ops.intln import (
     int_ln_requant,
@@ -221,13 +222,13 @@ def _bias_values(sb, aq, ws, n, n_heads):
     jax.jit,
     static_argnames=("cfg", "policy", "interpret", "use_pallas",
                      "pallas_attn", "lis", "fuse_res", "fuse_stem",
-                     "reorder"),
+                     "reorder", "fold_windows"),
 )
 def serving_forward(s, qstate, cfg: SwinConfig, policy: QuantPolicy, x,
                     interpret: bool = False, use_pallas: bool = True,
                     pallas_attn: bool = True, lis: bool | None = None,
                     fuse_res: bool = True, fuse_stem: bool = False,
-                    reorder: str = "real"):
+                    reorder: str = "real", fold_windows: bool = False):
     """Run the Swin int8 pipeline on an fp image batch; returns f32 logits.
 
     ``pallas_attn`` (default ON): the fused Pallas window-attention kernel —
@@ -252,6 +253,14 @@ def serving_forward(s, qstate, cfg: SwinConfig, policy: QuantPolicy, x,
     Swin-T batch 64 2026-08-17: Mosaic already hides the staged stem's
     passes behind compute): run the patch stem as one kernel
     (ops/swin_stem.py), bit-exact-tested against its twin either way.
+
+    ``fold_windows``: feed the attention kernel RASTER-layout qkv and let
+    it relayout contiguous row-strips to windows in VMEM
+    (ops/attention_lis.swin_lis_attention_folded) — the XLA
+    window_partition/reverse copies (2.11 ms = 8.6% of Swin-T e2e, the
+    reorder-bypass probe) never happen; shifted blocks keep their two
+    rolls. qkv/proj then run on raster token order (same rows, same math).
+    Bit-identical to the two-step path; default set by on-chip A/B.
 
     The patch conv runs fp (Swin has no input quantizer — constructors never
     pass input_quant, swin_quant.py:917-930), then everything downstream is
@@ -303,62 +312,108 @@ def serving_forward(s, qstate, cfg: SwinConfig, policy: QuantPolicy, x,
                          interpret=interpret, use_pallas=use_pallas)
             else:
                 h = h_ln
-            if reorder == "bypass":
-                # TIMING-ONLY (tools): group 49 CONSECUTIVE tokens instead
-                # of spatial windows — same shapes, same DMA, same compute,
-                # zero permutation copies. The e2e delta vs "real" is the
-                # in-situ cost of partition/reverse/roll. MATH IS WRONG for
-                # real windows; never a serving mode.
-                hw = h.reshape(-1, ws, ws, c)
-            else:
-                h = h.reshape(bs, res, res, c)
-                if shift:
-                    h = jnp.roll(h, (-shift, -shift), axis=(1, 2))
-                hw = window_partition(h, ws)
             aq = bq["attn"]
-            hw = mm(
-                hw.reshape(-1, c),
-                sb["qkv"]["w_q"],
-                bq["qact1"]["scale"] * sb["qkv"]["sw"] / aq["qact1"]["scale"],
-                sb["qkv_b"] / aq["qact1"]["scale"],
-                **mm_kw,
-            ).reshape(-1, ws * ws, 3 * c)
             mask = (
                 jnp.asarray(shift_attn_mask(res, res, ws, shift)) if shift else None
             )
-            if pallas_attn and use_pallas:
-                aq2 = bq["attn"]
+            folded = (fold_windows and use_pallas and pallas_attn
+                      and res > ws and reorder == "real")
+            if folded:
+                # zero-copy windowing: qkv/proj run on raster token order
+                # (per-row math is layout-independent); the attention
+                # kernel fetches row-strips and windows them in VMEM.
                 hd = c // heads
-                hw = swin_lis_attention(
-                    hw,
-                    _bias_values(sb, aq2, ws, ws * ws, heads),
-                    None if mask is None else mask / aq2["qact2"]["scale"],
+                hq = mm(
+                    h.reshape(-1, c),
+                    sb["qkv"]["w_q"],
+                    bq["qact1"]["scale"] * sb["qkv"]["sw"]
+                    / aq["qact1"]["scale"],
+                    sb["qkv_b"] / aq["qact1"]["scale"],
+                    **mm_kw,
+                ).reshape(bs, res, res, 3 * c)
+                if shift:
+                    hq = jnp.roll(hq, (-shift, -shift), axis=(1, 2))
+                hw4 = swin_lis_attention_folded(
+                    hq,
+                    _bias_values(sb, aq, ws, ws * ws, heads),
+                    None if mask is None else mask / aq["qact2"]["scale"],
                     heads,
-                    (res // ws) ** 2,
-                    aq2["qact1"]["scale"] ** 2 * hd**-0.5
-                    / aq2["qact_attn1"]["scale"],
-                    aq2["qact_attn1"]["scale"],
-                    aq2["qact2"]["scale"],
-                    aq2["qact1"]["scale"] / aq2["qact3"]["scale"],
+                    ws,
+                    aq["qact1"]["scale"] ** 2 * hd**-0.5
+                    / aq["qact_attn1"]["scale"],
+                    aq["qact_attn1"]["scale"],
+                    aq["qact2"]["scale"],
+                    aq["qact1"]["scale"] / aq["qact3"]["scale"],
                     lis=bool(lis),
                     interpret=interpret,
                 )
-            else:
-                hw = _window_attention_codes(hw, sb, bq, mask, lis, heads)
-            hw = mm(
-                hw.reshape(-1, c),
-                sb["proj"]["w_q"],
-                aq["qact3"]["scale"] * sb["proj"]["sw"] / aq["qact4"]["scale"],
-                sb["proj_b"] / aq["qact4"]["scale"],
-                **mm_kw,
-            ).reshape(-1, ws, ws, c)
-            if reorder == "bypass":
-                h = hw.reshape(bs, l, c)
-            else:
-                h = window_reverse(hw.reshape(-1, ws * ws, c), ws, res, res)
                 if shift:
-                    h = jnp.roll(h, (shift, shift), axis=(1, 2))
-                h = h.reshape(bs, l, c)
+                    hw4 = jnp.roll(hw4, (shift, shift), axis=(1, 2))
+                h = mm(
+                    hw4.reshape(-1, c),
+                    sb["proj"]["w_q"],
+                    aq["qact3"]["scale"] * sb["proj"]["sw"]
+                    / aq["qact4"]["scale"],
+                    sb["proj_b"] / aq["qact4"]["scale"],
+                    **mm_kw,
+                ).reshape(bs, l, c)
+            else:
+                if reorder == "bypass":
+                    # TIMING-ONLY (tools): group 49 CONSECUTIVE tokens
+                    # instead of spatial windows — same shapes, same DMA,
+                    # same compute, zero permutation copies. The e2e delta
+                    # vs "real" is the in-situ cost of partition/reverse/
+                    # roll. MATH IS WRONG for real windows; never a
+                    # serving mode.
+                    hw = h.reshape(-1, ws, ws, c)
+                else:
+                    h = h.reshape(bs, res, res, c)
+                    if shift:
+                        h = jnp.roll(h, (-shift, -shift), axis=(1, 2))
+                    hw = window_partition(h, ws)
+                hw = mm(
+                    hw.reshape(-1, c),
+                    sb["qkv"]["w_q"],
+                    bq["qact1"]["scale"] * sb["qkv"]["sw"]
+                    / aq["qact1"]["scale"],
+                    sb["qkv_b"] / aq["qact1"]["scale"],
+                    **mm_kw,
+                ).reshape(-1, ws * ws, 3 * c)
+                if pallas_attn and use_pallas:
+                    aq2 = bq["attn"]
+                    hd = c // heads
+                    hw = swin_lis_attention(
+                        hw,
+                        _bias_values(sb, aq2, ws, ws * ws, heads),
+                        None if mask is None
+                        else mask / aq2["qact2"]["scale"],
+                        heads,
+                        (res // ws) ** 2,
+                        aq2["qact1"]["scale"] ** 2 * hd**-0.5
+                        / aq2["qact_attn1"]["scale"],
+                        aq2["qact_attn1"]["scale"],
+                        aq2["qact2"]["scale"],
+                        aq2["qact1"]["scale"] / aq2["qact3"]["scale"],
+                        lis=bool(lis),
+                        interpret=interpret,
+                    )
+                else:
+                    hw = _window_attention_codes(hw, sb, bq, mask, lis, heads)
+                hw = mm(
+                    hw.reshape(-1, c),
+                    sb["proj"]["w_q"],
+                    aq["qact3"]["scale"] * sb["proj"]["sw"]
+                    / aq["qact4"]["scale"],
+                    sb["proj_b"] / aq["qact4"]["scale"],
+                    **mm_kw,
+                ).reshape(-1, ws, ws, c)
+                if reorder == "bypass":
+                    h = hw.reshape(bs, l, c)
+                else:
+                    h = window_reverse(hw.reshape(-1, ws * ws, c), ws, res, res)
+                    if shift:
+                        h = jnp.roll(h, (shift, shift), axis=(1, 2))
+                    h = h.reshape(bs, l, c)
             # residual requant-add → block qact2 codes → norm2 codes
             if fuse_res:
                 xc_f, h = res_ln(

@@ -199,3 +199,51 @@ def test_swin_fuse_stem_matches_unfused(setup):
     rel = np.linalg.norm(fused - plain) / max(np.linalg.norm(plain), 1e-9)
     assert rel < 0.02, f"fused stem diverges: rel={rel}"
     assert (fused.argmax(1) == plain.argmax(1)).all()
+
+
+def test_swin_folded_attention_kernel_bit_exact():
+    """swin_lis_attention_folded (raster in/out, in-VMEM windowing) is
+    bit-identical to window_partition → swin_lis_attention →
+    window_reverse, masks and both softmax modes included — the shared
+    _swin_head_loop plus matched nfull padding make every reduction tree
+    shape-identical."""
+    from p2vit_tpu.models.swin import shift_attn_mask, window_partition, \
+        window_reverse
+    from p2vit_tpu.ops.attention_lis import (
+        swin_lis_attention,
+        swin_lis_attention_folded,
+    )
+
+    b, res, ws, heads, c = 2, 8, 4, 2, 32
+    n = ws * ws
+    rng = np.random.RandomState(0)
+    qkv4 = jnp.asarray(rng.randint(-128, 128, (b, res, res, 3 * c)), jnp.int8)
+    bias = jnp.asarray(rng.randn(heads, n, n).astype(np.float32)) * 0.3
+    s2 = 2.0**-4
+    scales = (2.0**-9, 2.0**-4, s2, 2.0**-2)
+    for lis in (True, False):
+        for mask in (None, jnp.asarray(shift_attn_mask(res, res, ws, ws // 2))
+                     / s2):
+            hw = window_partition(qkv4, ws).reshape(-1, n, 3 * c)
+            ref = swin_lis_attention(hw, bias, mask, heads, (res // ws) ** 2,
+                                     *scales, lis=lis, interpret=True)
+            ref4 = window_reverse(ref, ws, res, res)
+            got = swin_lis_attention_folded(qkv4, bias, mask, heads, ws,
+                                            *scales, lis=lis, interpret=True)
+            assert np.array_equal(np.asarray(ref4), np.asarray(got)), (
+                f"lis={lis} mask={mask is not None}"
+            )
+
+
+def test_swin_fold_windows_matches_default(setup):
+    """serving_forward(fold_windows=True) is bit-identical to the default
+    two-step windowing path (same rows through qkv/proj, shared attention
+    math), shifted blocks and the res == ws final stage included."""
+    policy, params, x, calib = setup
+    ss = serving_swin.convert(params, calib.qstate, TINY, policy, 8)
+    base = np.asarray(serving_swin.serving_forward(
+        ss, calib.qstate, TINY, policy, x, use_pallas=True, interpret=True))
+    fold = np.asarray(serving_swin.serving_forward(
+        ss, calib.qstate, TINY, policy, x, use_pallas=True, interpret=True,
+        fold_windows=True))
+    assert np.array_equal(base, fold)

@@ -29,8 +29,14 @@ IMG_EXTENSIONS = (".jpg", ".jpeg", ".png", ".ppm", ".bmp", ".webp")
 
 def build_transform(img_size=224, mean=(0.485, 0.456, 0.406),
                     std=(0.229, 0.224, 0.225), crop_pct=0.875,
-                    interpolation=Image.BICUBIC if Image else None):
-    """Returns PIL.Image -> float32 CHW ndarray (test_quant.py:565-597)."""
+                    interpolation=Image.BICUBIC if Image else None,
+                    raw=False):
+    """Returns PIL.Image -> float32 CHW ndarray (test_quant.py:565-597).
+
+    ``raw=True``: stop after resize+crop and return uint8 CHW — the input
+    of the device-side u8 ingestion path (serving.attach_u8_ingest), which
+    replays the /255+normalize on device bit-identically. 4x smaller
+    host->device transfer and no per-image host float math."""
     size = int(img_size / crop_pct)
     mean = np.asarray(mean, dtype=np.float32).reshape(3, 1, 1)
     std = np.asarray(std, dtype=np.float32).reshape(3, 1, 1)
@@ -47,6 +53,8 @@ def build_transform(img_size=224, mean=(0.485, 0.456, 0.406),
         left = (nw - img_size) // 2
         top = (nh - img_size) // 2
         img = img.crop((left, top, left + img_size, top + img_size))
+        if raw:
+            return np.asarray(img, dtype=np.uint8).transpose(2, 0, 1)
         arr = np.asarray(img, dtype=np.float32).transpose(2, 0, 1) / 255.0
         return (arr - mean) / std
 

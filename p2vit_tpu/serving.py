@@ -54,6 +54,112 @@ def _bit_bounds(bit):
     return (-8, 7) if bit == 4 else (-128, 127)
 
 
+# ---------------------------------------------------------------------------
+# uint8 image ingestion (production serving entry)
+# ---------------------------------------------------------------------------
+
+def u8_ingest_consts(mean, std, s_input=None):
+    """Constants for ingesting RAW uint8 images instead of host-normalized
+    f32 (4x smaller host->device transfer; the host skips normalize too).
+
+    Host-pipeline parity: data.build_transform emits
+    ``x = (u/255 - mean)/std`` in f32 (data.py, replicating torchvision
+    ToTensor+Normalize — reference test_quant.py:565-597). The serving
+    entry replays that EXACT f32 op sequence on device, so a uint8 batch
+    yields bit-identical input codes to the host-normalized f32 batch
+    (tests/test_u8_ingest.py).
+
+    With ``s_input`` (ViT/DeiT qact_input scale), also derives the fused
+    single-affine form ``clip(round(u*a + b))`` — normalize and input
+    quantize composed into one multiply-add — plus the exhaustive
+    256-value golden table per channel, so the affine can be PROVEN exact
+    on the serving backend (``u8_ingest_exact(affine=True)``) before use: XLA may fuse
+    the mul+add into an FMA, whose single rounding can flip knife edges
+    vs the literal sequence, so exactness is checked by running, never
+    assumed.
+    """
+    mean = np.asarray(mean, np.float32).reshape(3)
+    std = np.asarray(std, np.float32).reshape(3)
+    out = {"mean": jnp.asarray(mean), "std": jnp.asarray(std)}
+    if s_input is not None:
+        s_in = np.float32(np.asarray(s_input).reshape(()))
+        v = np.arange(256, dtype=np.float32)[:, None]  # (256, 1)
+        x = (v / np.float32(255.0) - mean[None]) / std[None]  # host sequence
+        lut = np.clip(np.round(x / s_in), -128, 127).astype(np.int8)
+        a = np.float32(1.0) / (np.float32(255.0) * std * s_in)
+        b = -mean / (std * s_in)
+        out.update(
+            a=jnp.asarray(a, jnp.float32),
+            b=jnp.asarray(b, jnp.float32),
+            lut=jnp.asarray(lut),
+        )
+    return out
+
+
+def attach_u8_ingest(s, mean=(0.485, 0.456, 0.406), std=(0.229, 0.224, 0.225)):
+    """Enable uint8 ingestion on a converted ServingState (in place).
+
+    ``mean``/``std`` must be the host pipeline's per-family normalization
+    (models.PREPROCESS) — ingestion replays them on device.
+    """
+    s["u8"] = u8_ingest_consts(mean, std, s_input=s["s_input"])
+    return s
+
+
+def _u8_exact_codes(x, u8, s_input):
+    """(B, 3, H, W) uint8 -> input codes via the literal host sequence
+    (u/255 -> normalize -> quantize); bit-identical to f32 ingestion."""
+    f = x.astype(jnp.float32) / jnp.float32(255.0)
+    f = (f - u8["mean"][:, None, None]) / u8["std"][:, None, None]
+    return jnp.clip(jnp.round(f / s_input), *_I8).astype(jnp.int8)
+
+
+def _u8_affine_codes(x, u8):
+    """(B, 3, H, W) uint8 -> input codes via the fused affine. Use only
+    after ``u8_ingest_exact(s, affine=True)`` returned True on this backend."""
+    f = x.astype(jnp.float32)
+    f = f * u8["a"][:, None, None] + u8["b"][:, None, None]
+    return jnp.clip(jnp.round(f), *_I8).astype(jnp.int8)
+
+
+def u8_ingest_exact(s, affine: bool = False) -> bool:
+    """Exhaustively prove the device-side u8 ingestion (the literal op
+    sequence, or with ``affine=True`` the fused multiply-add) reproduces
+    the HOST-computed golden table for every uint8 value x channel on the
+    CURRENT backend — 768 cases, one tiny jit. The input domain is finite,
+    so this is a proof, not a sample: run it once per backend before
+    trusting bit-parity claims there (e.g. TPU f32 divide may not be
+    correctly rounded the way host/CPU IEEE ops are)."""
+    u8 = s["u8"]
+    v = jnp.broadcast_to(
+        jnp.arange(256, dtype=jnp.uint8)[None, None, :, None], (1, 3, 256, 1)
+    )
+    if affine:
+        fn = lambda t: _u8_affine_codes(t, u8)  # noqa: E731
+    else:
+        fn = lambda t: _u8_exact_codes(t, u8, s["s_input"])  # noqa: E731
+    got = jax.jit(fn)(v)
+    want = jnp.transpose(u8["lut"])[None, :, :, None]  # (1, 3, 256, 1)
+    return bool(jax.device_get((got == want).all()))
+
+
+def _input_codes(s, x, u8_affine: bool = False):
+    """Image batch (f32 normalized, or raw uint8 when s carries 'u8'
+    ingestion constants) -> qact_input int8 codes."""
+    if x.dtype == jnp.uint8:
+        if "u8" not in s:
+            raise ValueError(
+                "uint8 batch but no ingestion constants — call "
+                "serving.attach_u8_ingest(s, mean, std) after convert()"
+            )
+        if u8_affine:
+            return _u8_affine_codes(x, s["u8"])
+        return _u8_exact_codes(x, s["u8"], s["s_input"])
+    return jnp.clip(
+        jnp.round(x.astype(jnp.float32) / s["s_input"]), *_I8
+    ).astype(jnp.int8)
+
+
 def convert(params, qstate, cfg: ViTConfig, policy: QuantPolicy, bit_config) -> dict:
     """Specialize calibrated state to a fixed bit_config for serving.
 
@@ -303,10 +409,16 @@ def _embed_fused_consts(s, cfg: ViTConfig):
 
 
 def embed_codes(s, cfg: ViTConfig, x, use_pallas: bool = True,
-                interpret: bool = False, fuse_embed: bool = True):
+                interpret: bool = False, fuse_embed: bool = True,
+                u8_affine: bool = False):
     """The serving prologue: image → patch conv → [cls; patches] + pos →
     qact1 codes (``xc``), plus block 0's standalone int-LN1 output (``h``).
     Every later LN is fused into the matmul producing its input.
+
+    ``x`` may be host-normalized f32 or RAW uint8 (after
+    ``attach_u8_ingest``); uint8 ingestion replays the host normalize on
+    device and is bit-identical (``u8_affine=True`` fuses it into one
+    multiply-add — prove with ``u8_ingest_exact(s, affine=True)`` first).
 
     ``fuse_embed`` (Pallas only): run the whole prologue as ONE kernel
     (ops/embed_fused.py) — bit-identical to the staged path below, and
@@ -325,9 +437,7 @@ def embed_codes(s, cfg: ViTConfig, x, use_pallas: bool = True,
         # identical to quantizing in-kernel (commutes with the permutation);
         # A/B'd on chip 2026-08-17 (tools/embed_bench.py): 2.85 → 1.54 ms
         # for the DeiT-S batch-256 prologue (e2e 37.2 → 35.8 ms).
-        c0 = jnp.clip(
-            jnp.round(x.astype(jnp.float32) / s["s_input"]), *_I8
-        ).astype(jnp.int8)
+        c0 = _input_codes(s, x, u8_affine)
         patches = extract_patches(c0, cfg.patch_size)
         xc, h = fused_patch_embed(
             patches, s["patch"]["w_q"], interpret=interpret, **k
@@ -337,7 +447,7 @@ def embed_codes(s, cfg: ViTConfig, x, use_pallas: bool = True,
     mm_kw = {"interpret": interpret} if use_pallas else {}
     iln = functools.partial(_int_ln_codes, use_pallas=use_pallas,
                             interpret=interpret)
-    c0 = jnp.clip(jnp.round(x / s["s_input"]), *_I8).astype(jnp.int8)
+    c0 = _input_codes(s, x, u8_affine)
     patches = extract_patches(c0, cfg.patch_size)  # int8 codes, reordered only
 
     p = s["patch"]
@@ -449,13 +559,19 @@ def apply_fused_layer(cfg: ViTConfig, layer, h, xc, lis=True, interpret=False):
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "interpret", "use_pallas", "lis", "fuse_qkv",
-                     "fuse_layer", "fuse_embed", "scan_layers"),
+                     "fuse_layer", "fuse_embed", "scan_layers", "u8_affine"),
 )
 def serving_forward(s, cfg: ViTConfig, x, interpret: bool = False,
                     use_pallas: bool = True, lis: bool = True,
                     fuse_qkv: bool = True, fuse_layer: bool = False,
-                    fuse_embed: bool = True, scan_layers: bool | None = None):
-    """Run the int8 pipeline on a f32 image batch; returns f32 logits.
+                    fuse_embed: bool = True, scan_layers: bool | None = None,
+                    u8_affine: bool = False):
+    """Run the int8 pipeline on an image batch; returns f32 logits.
+
+    ``x``: host-normalized f32, or RAW uint8 after ``attach_u8_ingest``
+    (bit-identical ingestion on device; 4x smaller host->device transfer).
+    ``u8_affine``: fuse the uint8 normalize+quantize into one multiply-add
+    — prove exactness on this backend with ``u8_ingest_exact(s, affine=True)`` first.
 
     ``lis``: Log-Int-Softmax on (the reference default) or the LIS-off fp
     softmax over dequantized attention codes (Config(lis=False),
@@ -489,7 +605,7 @@ def serving_forward(s, cfg: ViTConfig, x, interpret: bool = False,
     c = cfg.embed_dim
     n_tok = cfg.seq_len
     h, xc = embed_codes(s, cfg, x, use_pallas=use_pallas, interpret=interpret,
-                        fuse_embed=fuse_embed)
+                        fuse_embed=fuse_embed, u8_affine=u8_affine)
     s_prev = s["s_qact1"]
     n_blocks = len(s["blocks"])
     if use_pallas and fuse_layer:

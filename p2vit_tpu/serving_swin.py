@@ -50,6 +50,31 @@ _ROW = {4: 2, 8: 3}
 _BOUNDS = {4: (-8, 7), 8: (-128, 127)}
 
 
+def attach_u8_ingest(s, mean=(0.485, 0.456, 0.406), std=(0.229, 0.224, 0.225)):
+    """Enable RAW uint8 image ingestion on a converted Swin ServingState.
+
+    Swin has no input quantizer (the fp patch stem consumes the image
+    directly — swin_quant.py:917-930), so ingestion is the device-side
+    replay of the host normalize ``(u/255 - mean)/std`` in the exact f32
+    op order of data.build_transform — bit-identical to feeding the
+    host-normalized f32 batch (tests/test_u8_ingest.py)."""
+    from .serving import u8_ingest_consts
+
+    s["u8"] = u8_ingest_consts(mean, std)
+    return s
+
+
+def _u8_dequant(s, x):
+    if "u8" not in s:
+        raise ValueError(
+            "uint8 batch but no ingestion constants — call "
+            "serving_swin.attach_u8_ingest(s, mean, std) after convert()"
+        )
+    u8 = s["u8"]
+    f = x.astype(jnp.float32) / jnp.float32(255.0)
+    return (f - u8["mean"][:, None, None]) / u8["std"][:, None, None]
+
+
 def convert(params, qstate, cfg: SwinConfig, policy: QuantPolicy, bit_config=8):
     """Freeze int8 weight codes + requant constants for a bit config.
 
@@ -229,7 +254,8 @@ def serving_forward(s, qstate, cfg: SwinConfig, policy: QuantPolicy, x,
                     pallas_attn: bool = True, lis: bool | None = None,
                     fuse_res: bool = True, fuse_stem: bool = False,
                     reorder: str = "real", fold_windows: bool = False):
-    """Run the Swin int8 pipeline on an fp image batch; returns f32 logits.
+    """Run the Swin int8 pipeline on an image batch (host-normalized f32,
+    or RAW uint8 after ``attach_u8_ingest``); returns f32 logits.
 
     ``pallas_attn`` (default ON): the fused Pallas window-attention kernel —
     bit-identical to the XLA path on chip and 35% faster end to end
@@ -273,6 +299,10 @@ def serving_forward(s, qstate, cfg: SwinConfig, policy: QuantPolicy, x,
     rl_kw = {"interpret": interpret} if use_pallas else {}
     lis = bool(policy.int_softmax) if lis is None else bool(lis)
     b = x.shape[0]
+    if x.dtype == jnp.uint8:
+        # RAW uint8 ingestion: replay the host normalize on device
+        # (bit-identical; see attach_u8_ingest)
+        x = _u8_dequant(s, x)
 
     # fp patch stem against fake-quantized weights (sim parity)
     pw = s["patch"]["w_q"].astype(jnp.float32) * s["patch"]["sw"][:, None]

@@ -117,6 +117,10 @@ def build_parser():
                    help="decode/preprocess batches in the C++ thread pool "
                         "(bit-exact with the PIL path; uses --num-workers "
                         "threads)")
+    p.add_argument("--u8-ingest", action="store_true",
+                   help="(with --serve) feed RAW uint8 batches and replay "
+                        "normalize+quantize on device — bit-identical logits, "
+                        "4x smaller host->device transfer")
     return p
 
 
@@ -163,7 +167,15 @@ def main():
     pp = PREPROCESS[args.model.split("_")[0]]
     tf = data.build_transform(cfg.img_size, pp["mean"], pp["std"], pp["crop_pct"])
 
-    def make_dataset(split):
+    def make_dataset(split, raw=False):
+        if raw:
+            # uint8 ingestion: host stops at resize+crop; normalize+quantize
+            # replay on device (serving.attach_u8_ingest, bit-identical)
+            return data.ImageFolder(
+                f"{args.data}/{split}",
+                data.build_transform(cfg.img_size, pp["mean"], pp["std"],
+                                     pp["crop_pct"], raw=True),
+            )
         if args.native_loader:
             return data.NativeImageFolder(
                 f"{args.data}/{split}", cfg.img_size, pp["mean"], pp["std"],
@@ -219,7 +231,10 @@ def main():
                 checkpoints.save_quant_state(args.save_quant_state, calib)
                 print(f"Saved quantization state to {args.save_quant_state}")
 
-    val = make_dataset("val")
+    u8 = args.u8_ingest and args.quant and args.serve
+    if args.u8_ingest and not u8:
+        print("--u8-ingest needs --quant --serve; ignoring")
+    val = make_dataset("val", raw=u8)
 
     if args.quant and is_swin and args.serve:
         from p2vit_tpu import serving_swin
@@ -233,6 +248,10 @@ def main():
                 _sw_cache[key] = serving_swin.convert(
                     params, calib.qstate, cfg, policy, list(key)
                 )
+                if u8:
+                    serving_swin.attach_u8_ingest(
+                        _sw_cache[key], pp["mean"], pp["std"]
+                    )
             return serving_swin.serving_forward(
                 _sw_cache[key], calib.qstate, cfg, policy, x,
                 use_pallas=on_accel,
@@ -257,6 +276,10 @@ def main():
                 _sstate_cache[key] = serving.convert(
                     params, calib.qstate, cfg, policy, list(key)
                 )
+                if u8:
+                    serving.attach_u8_ingest(
+                        _sstate_cache[key], pp["mean"], pp["std"]
+                    )
             return serving.serving_forward(
                 _sstate_cache[key], cfg, x, use_pallas=on_accel,
                 lis=policy.int_softmax,

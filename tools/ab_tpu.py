@@ -179,6 +179,51 @@ def section_zoo():
         _zoo_one(name)
 
 
+def section_u8():
+    """uint8 ingestion on chip: prove both device ingestion forms against
+    the host golden table by enumeration (the TPU's f32 divide/FMA rounding
+    is exactly what the CPU proof can't vouch for), check whole-model logits
+    parity, and time f32 vs u8 entry at the bench batch."""
+    policy = make_policy()
+    cfg = VIT_ZOO["deit_small_patch16_224"]
+    params = vit.init_params(jax.random.PRNGKey(0), cfg)
+    qstate = vit.synthetic_qstate(cfg)
+    sst = serving.convert(params, qstate, cfg, policy, [8] * cfg.num_matmuls)
+    serving.attach_u8_ingest(sst)
+    batch = 256
+    u8 = jax.random.randint(
+        jax.random.PRNGKey(2), (batch, 3, 224, 224), 0, 256, dtype=jnp.uint8
+    )
+    mean, std = sst["u8"]["mean"], sst["u8"]["std"]
+    xf = (u8.astype(jnp.float32) / jnp.float32(255.0)
+          - mean[:, None, None]) / std[:, None, None]
+
+    exact = serving.u8_ingest_exact(sst)
+    aff = serving.u8_ingest_exact(sst, affine=True)
+    RESULTS["u8_exact_on_chip"] = exact
+    RESULTS["u8_affine_exact_on_chip"] = aff
+    print(f"u8 ingestion enumeration on chip: literal={exact} affine={aff}")
+
+    f_f32 = jax.jit(lambda xx: serving.serving_forward(sst, cfg, xx))
+    f_u8 = jax.jit(lambda xx: serving.serving_forward(sst, cfg, xx))
+    f_u8a = jax.jit(
+        lambda xx: serving.serving_forward(sst, cfg, xx, u8_affine=True)
+    )
+    a = np.asarray(f_f32(xf[:8]))
+    for name, fn in (("u8", f_u8), ("u8_affine", f_u8a)):
+        b = np.asarray(fn(u8[:8]))
+        same = bool((a == b).all())
+        agree = float((a.argmax(1) == b.argmax(1)).mean())
+        print(f"{name} vs f32 logits on chip: bit_equal={same} "
+              f"argmax_agree={agree}")
+        assert agree == 1.0
+    for name, fn, xx in (("f32_entry", f_f32, xf), ("u8_entry", f_u8, u8),
+                         ("u8_affine_entry", f_u8a, u8)):
+        ips = batch / _t(fn, xx)
+        RESULTS[f"vit_{name}_img_s"] = round(ips, 1)
+        print(f"deit-small {name}: {ips:.1f} img/s")
+
+
 def section_calib():
     policy = make_policy()
     cfg = VIT_ZOO["deit_small_patch16_224"]

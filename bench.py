@@ -15,6 +15,8 @@ dominates as C grows). Fields:
   * swin_tiny_*               — Swin-T int8 (Pallas window attention)
   * sim_img_s                 — fake-quant f32 simulation (search/eval path)
   * calib_s_100img            — one-shot jitted full-calibration latency
+  * u8_exact / u8_affine_exact / deit_small_u8_img_s — uint8-ingestion
+    enumeration proofs on this chip + raw-u8 serving entry throughput
 """
 
 from __future__ import annotations
@@ -121,6 +123,29 @@ def main():
     )
     for k, v in small.items():
         res[f"deit_small_{k}"] = v
+
+    # uint8 ingestion (guarded, accelerator-only: a second forward compile
+    # costs minutes on the CPU fallback): prove the device-side ingestion
+    # against the host golden table by enumeration ON THIS CHIP, then time
+    # the raw-u8 serving entry (production images arrive uint8).
+    if on_accel:
+        try:
+            from p2vit_tpu import serving
+
+            serving.attach_u8_ingest(sstate)
+            res["u8_exact"] = serving.u8_ingest_exact(sstate)
+            res["u8_affine_exact"] = serving.u8_ingest_exact(
+                sstate, affine=True
+            )
+            u8 = jax.random.randint(
+                jax.random.PRNGKey(11), x.shape, 0, 256, dtype=jnp.uint8
+            )
+            t_u8 = _time_fn(
+                jax.jit(lambda xx: serving.serving_forward(
+                    sstate, cfg, xx, use_pallas=True)), u8)
+            res["deit_small_u8_img_s"] = round(small["batch"] / t_u8, 2)
+        except Exception as e:  # pragma: no cover - hardware dependent
+            res["u8_exact"] = f"unavailable: {type(e).__name__}"
 
     # fake-quant simulation (search-time eval path), DeiT-S
     bit_idx = vit.bits_to_idx([8] * cfg.num_matmuls)

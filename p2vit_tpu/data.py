@@ -107,15 +107,21 @@ class NativeImageFolder(ImageFolder):
     """
 
     def __init__(self, root: str, img_size=224, mean=(0.485, 0.456, 0.406),
-                 std=(0.229, 0.224, 0.225), crop_pct=0.875, n_threads=0):
+                 std=(0.229, 0.224, 0.225), crop_pct=0.875, n_threads=0,
+                 raw=False):
+        # ``raw=True``: batches come back uint8 CHW (decode+resize+crop only,
+        # no normalize) — the input of the device-side u8 ingestion path
+        # (serving.attach_u8_ingest); pairs --native-loader with --u8-ingest
         super().__init__(
-            root, transform=build_transform(img_size, mean, std, crop_pct)
+            root, transform=build_transform(img_size, mean, std, crop_pct,
+                                            raw=raw)
         )
         self.img_size = img_size
         self.resize_size = int(img_size / crop_pct)
         self.mean = tuple(float(m) for m in mean)
         self.std = tuple(float(s) for s in std)
         self.n_threads = n_threads
+        self.raw = raw
 
     def load_batch(self, indices):
         import ctypes
@@ -128,17 +134,28 @@ class NativeImageFolder(ImageFolder):
             [self.samples[int(i)][1] for i in indices], dtype=np.int64
         )
         n = len(paths)
-        out = np.empty((n, 3, self.img_size, self.img_size), dtype=np.float32)
         rc = np.zeros(n, dtype=np.int32)
         carr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
-        mean_c = (ctypes.c_float * 3)(*self.mean)
-        std_c = (ctypes.c_float * 3)(*self.std)
-        failed = lib.p2vit_load_batch(
-            carr, n, self.resize_size, self.img_size, mean_c, std_c,
-            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            rc.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
-            self.n_threads,
-        )
+        if self.raw:
+            out = np.empty((n, 3, self.img_size, self.img_size),
+                           dtype=np.uint8)
+            failed = lib.p2vit_load_batch_u8(
+                carr, n, self.resize_size, self.img_size,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                rc.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+                self.n_threads,
+            )
+        else:
+            out = np.empty((n, 3, self.img_size, self.img_size),
+                           dtype=np.float32)
+            mean_c = (ctypes.c_float * 3)(*self.mean)
+            std_c = (ctypes.c_float * 3)(*self.std)
+            failed = lib.p2vit_load_batch(
+                carr, n, self.resize_size, self.img_size, mean_c, std_c,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                rc.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+                self.n_threads,
+            )
         if failed:
             for i in np.nonzero(rc)[0]:  # PIL fallback per failed image
                 out[i] = self[int(indices[int(i)])][0]

@@ -55,6 +55,12 @@ def load() -> ctypes.CDLL:
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
         ctypes.POINTER(ctypes.c_int), ctypes.c_int,
     ]
+    lib.p2vit_load_batch_u8.restype = ctypes.c_int
+    lib.p2vit_load_batch_u8.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+    ]
     lib.p2vit_decode_resize.restype = ctypes.c_int
     lib.p2vit_decode_resize.argtypes = [
         ctypes.c_char_p, ctypes.c_int, ctypes.c_int,

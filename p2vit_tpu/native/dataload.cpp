@@ -303,6 +303,32 @@ int process_one(const char* path, int resize_size, int img_size,
     return 0;
 }
 
+// decode -> resize -> center-crop into out[3, img, img] (CHW uint8, no
+// normalize): the raw-u8 ingestion entry — normalize+quantize replay on
+// device (serving.attach_u8_ingest), so the host stops at pixel bytes.
+int process_one_u8(const char* path, int resize_size, int img_size,
+                   uint8_t* out) {
+    int w = 0, h = 0;
+    std::vector<uint8_t> rgb = decode_image(path, &w, &h);
+    if (rgb.empty() || w <= 0 || h <= 0) return 1;
+    int nw, nh;
+    resize_dims(w, h, resize_size, &nw, &nh);
+    rgb = resize_bicubic(std::move(rgb), w, h, nw, nh);
+    int left = (nw - img_size) / 2;
+    int top = (nh - img_size) / 2;
+    if (left < 0 || top < 0) return 2;
+    for (int y = 0; y < img_size; y++) {
+        const uint8_t* line = rgb.data() + (size_t(top + y) * nw + left) * 3;
+        for (int x = 0; x < img_size; x++) {
+            for (int c = 0; c < 3; c++) {
+                out[(size_t(c) * img_size + y) * img_size + x] =
+                    line[size_t(x) * 3 + c];
+            }
+        }
+    }
+    return 0;
+}
+
 }  // namespace
 
 extern "C" {
@@ -326,6 +352,34 @@ int p2vit_load_batch(const char** paths, int n, int resize_size, int img_size,
             if (i >= n) return;
             int r = process_one(paths[i], resize_size, img_size, mean, std_,
                                 out + stride * i);
+            rc[i] = r;
+            if (r) failed.fetch_add(1);
+        }
+    };
+    std::vector<std::thread> threads;
+    for (int t = 0; t < n_threads; t++) threads.emplace_back(worker);
+    for (auto& t : threads) t.join();
+    return failed.load();
+}
+
+// Raw-u8 batch entry: decode+resize+crop n images into out[n, 3, img, img]
+// CHW uint8 (no normalize — see process_one_u8). Same pool/rc contract as
+// p2vit_load_batch.
+int p2vit_load_batch_u8(const char** paths, int n, int resize_size,
+                        int img_size, uint8_t* out, int* rc, int n_threads) {
+    if (n_threads <= 0) {
+        n_threads = int(std::thread::hardware_concurrency());
+        if (n_threads <= 0) n_threads = 4;
+    }
+    if (n_threads > n) n_threads = n;
+    std::atomic<int> next(0), failed(0);
+    size_t stride = size_t(3) * img_size * img_size;
+    auto worker = [&]() {
+        for (;;) {
+            int i = next.fetch_add(1);
+            if (i >= n) return;
+            int r = process_one_u8(paths[i], resize_size, img_size,
+                                   out + stride * i);
             rc[i] = r;
             if (r) failed.fetch_add(1);
         }

@@ -168,18 +168,19 @@ def main():
     tf = data.build_transform(cfg.img_size, pp["mean"], pp["std"], pp["crop_pct"])
 
     def make_dataset(split, raw=False):
+        # raw=True (uint8 ingestion): host stops at resize+crop;
+        # normalize+quantize replay on device (serving.attach_u8_ingest,
+        # bit-identical)
+        if args.native_loader:
+            return data.NativeImageFolder(
+                f"{args.data}/{split}", cfg.img_size, pp["mean"], pp["std"],
+                pp["crop_pct"], n_threads=args.num_workers, raw=raw,
+            )
         if raw:
-            # uint8 ingestion: host stops at resize+crop; normalize+quantize
-            # replay on device (serving.attach_u8_ingest, bit-identical)
             return data.ImageFolder(
                 f"{args.data}/{split}",
                 data.build_transform(cfg.img_size, pp["mean"], pp["std"],
                                      pp["crop_pct"], raw=True),
-            )
-        if args.native_loader:
-            return data.NativeImageFolder(
-                f"{args.data}/{split}", cfg.img_size, pp["mean"], pp["std"],
-                pp["crop_pct"], n_threads=args.num_workers,
             )
         return data.ImageFolder(f"{args.data}/{split}", tf)
 

@@ -107,6 +107,34 @@ def test_native_imagefolder_matches_pil_pipeline(tmp_path, image_dir):
         np.testing.assert_array_equal(ni, pi)  # bit-exact f32
 
 
+def test_native_raw_u8_matches_pil_raw(tmp_path, image_dir):
+    """raw=True: native decode+resize+crop to CHW uint8 must match the PIL
+    raw transform bit for bit (the u8-ingestion input, and a fallback path
+    check: PIL __getitem__ must also produce raw uint8)."""
+    rng = np.random.RandomState(4)
+    d = tmp_path / "val" / "a"
+    d.mkdir(parents=True)
+    for j in range(3):
+        Image.fromarray(
+            rng.randint(0, 256, (210 + 5 * j, 190 + 3 * j, 3), dtype=np.uint8)
+        ).save(str(d / f"{j}.jpg"), quality=90)
+    Image.fromarray(
+        rng.randint(0, 256, (150, 170, 3), dtype=np.uint8)
+    ).save(str(d / "im.bmp"))  # exercises the PIL fallback inside raw mode
+
+    kw = dict(img_size=96, crop_pct=0.875)
+    nat_ds = data.NativeImageFolder(str(tmp_path / "val"), raw=True, **kw)
+    pil_ds = data.ImageFolder(
+        str(tmp_path / "val"),
+        data.build_transform(img_size=96, crop_pct=0.875, raw=True),
+    )
+    (ni, nt), (pi, pt) = (nat_ds.load_batch(range(len(nat_ds.samples))),
+                          next(data.iterate_batches(pil_ds, 8)))
+    assert ni.dtype == np.uint8 and pi.dtype == np.uint8
+    np.testing.assert_array_equal(nt, pt)
+    np.testing.assert_array_equal(ni, pi)
+
+
 def test_native_fallback_on_unsupported_format(tmp_path):
     d = tmp_path / "val" / "a"
     d.mkdir(parents=True)

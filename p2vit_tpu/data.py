@@ -170,7 +170,8 @@ def iterate_batches(
     drop_last: bool = False,
     prefetch: int = 0,
 ) -> Iterator[tuple]:
-    """Minimal host-side batch loader: yields (float32 [B,3,H,W], int64 [B]).
+    """Minimal host-side batch loader: yields (float32 [B,3,H,W], int64 [B])
+    — or uint8 images when the dataset uses a raw transform (u8 ingestion).
 
     Replaces the reference's DataLoader worker pool (test_quant.py:137-158):
     datasets exposing ``load_batch`` (NativeImageFolder) decode each batch in

@@ -8,6 +8,8 @@ QIntLayerNorm's ``out_quantizer_scale`` slot where ``in_scale_expand=4`` was
 meant (swin_quant.py:520 vs ptq/layers.py:276-283). This rebuild implements
 the INTENT — the FQ-ViT quantized Swin — and makes it actually work:
 
+  * input fake-quant (qact_input — every constructor passes
+    input_quant=True, :697-705,930,957,984),
   * windowed attention with a quantized relative-position-bias table
     (qact_table, swin_quant.py:145-152,222-235) and shifted-window masks
     (:365-395),
@@ -364,6 +366,11 @@ def _calibrate_jit(params, cfg: SwinConfig, policy: QuantPolicy, x, stats=None):
         dists.append(dist)
         return scale
 
+    # input quantizer: every Swin constructor passes input_quant=True
+    # (swin_quant.py:697-705,930,957,984) — int8 layer-wise on the image.
+    # Calibration still walks the RAW image (QAct returns x unquantized
+    # while calibrating); the scale only bites at eval.
+    qs["qact_input"] = _qact(a, x, prev=_sget(stats, "qact_input"))
     patches = _patches(x, cfg.patch_size)
     qs["patch_wscale"] = wsolve(params["patch_embed"]["w"], patches)
     x = linear(patches, params["patch_embed"]["w"], params["patch_embed"]["b"])
@@ -473,6 +480,7 @@ def _collect_stats_jit(params, cfg: SwinConfig, policy: QuantPolicy, x, prev):
     def acc(method, v, *path):
         return accumulate_act_stats(method, v, _sget(prev, *path))
 
+    st["qact_input"] = acc(a, x, "qact_input")
     patches = _patches(x, cfg.patch_size)
     x = linear(patches, params["patch_embed"]["w"], params["patch_embed"]["b"])
     st["patch_qact_bn"] = acc(a, x, "patch_qact_bn")
@@ -602,6 +610,9 @@ def quant_forward_mixed(params, qstate, cfg: SwinConfig, policy: QuantPolicy,
             w, wscale[2 + bit][:, None], 0.0, EVAL_QMIN[bit], EVAL_QMAX[bit]
         )
 
+    # input fake-quant (swin_quant.py:884-886: qact_input ahead of the
+    # patch embed — every constructor passes input_quant=True)
+    x = _fq(x, qstate["qact_input"])
     patches = _patches(x, cfg.patch_size)
     x = linear(patches, fqw(params["patch_embed"]["w"], qstate["patch_wscale"]),
                params["patch_embed"]["b"])

@@ -8,9 +8,9 @@ reads the f32 patch matrix once and emits the patch-qact int8 codes once:
 
   h     = patches @ wᵀ + bias            (f32 MXU; weights are the
                                           DEQUANTIZED w_q·sw — the fp
-                                          patch stem of serving_swin.py,
-                                          /root/reference/models/swin_quant.py:917-930
-                                          has no input quantizer)
+                                          patch stem of serving_swin.py;
+                                          the caller fake-quantizes the
+                                          image first, qact_input)
   codes = clip(round(h · 1/s_bn))        (patch_qact_bn node)
   out   = int-LN(codes)                  (patch_norm → patch_qact codes,
                                           shared ln_mn_chain)

@@ -53,11 +53,11 @@ _BOUNDS = {4: (-8, 7), 8: (-128, 127)}
 def attach_u8_ingest(s, mean=(0.485, 0.456, 0.406), std=(0.229, 0.224, 0.225)):
     """Enable RAW uint8 image ingestion on a converted Swin ServingState.
 
-    Swin has no input quantizer (the fp patch stem consumes the image
-    directly — swin_quant.py:917-930), so ingestion is the device-side
-    replay of the host normalize ``(u/255 - mean)/std`` in the exact f32
-    op order of data.build_transform — bit-identical to feeding the
-    host-normalized f32 batch (tests/test_u8_ingest.py)."""
+    Ingestion is the device-side replay of the host normalize
+    ``(u/255 - mean)/std`` in the exact f32 op order of
+    data.build_transform — bit-identical to feeding the host-normalized
+    f32 batch (tests/test_u8_ingest.py); the qact_input fake-quant then
+    applies as usual in serving_forward."""
     from .serving import u8_ingest_consts
 
     s["u8"] = u8_ingest_consts(mean, std)
@@ -100,6 +100,10 @@ def convert(params, qstate, cfg: SwinConfig, policy: QuantPolicy, bit_config=8):
         }
 
     s: dict = {
+        # input quantizer (swin_quant.py:697-705: every constructor passes
+        # input_quant=True — int8 layer-wise on the image)
+        "s_input": qstate["qact_input"]["scale"],
+        "zp_input": qstate["qact_input"]["zp"],
         "patch": wq(params["patch_embed"]["w"], qstate["patch_wscale"], bits[0]),
         "patch_b": params["patch_embed"]["b"],
         "head": wq(params["head"]["w"], qstate["head_wscale"], bits[-1]),
@@ -288,9 +292,10 @@ def serving_forward(s, qstate, cfg: SwinConfig, policy: QuantPolicy, x,
     rolls. qkv/proj then run on raster token order (same rows, same math).
     Bit-identical to the two-step path; default set by on-chip A/B.
 
-    The patch conv runs fp (Swin has no input quantizer — constructors never
-    pass input_quant, swin_quant.py:917-930), then everything downstream is
-    int8 codes.
+    The image is fake-quantized by qact_input (every Swin constructor
+    passes input_quant=True — swin_quant.py:697-705,930,957,984), then the
+    patch conv runs fp on the quantized image against fake-quantized
+    weights; everything downstream is int8 codes.
     """
     mm = int8_matmul_requant if use_pallas else int8_matmul_requant_ref
     mm_res_ln = int8_matmul_res_ln if use_pallas else int8_matmul_res_ln_ref
@@ -303,6 +308,10 @@ def serving_forward(s, qstate, cfg: SwinConfig, policy: QuantPolicy, x,
         # RAW uint8 ingestion: replay the host normalize on device
         # (bit-identical; see attach_u8_ingest)
         x = _u8_dequant(s, x)
+    # input fake-quant (qact_input, swin_quant.py:884-886) — same formula
+    # as the simulation's _fq so serving tracks it bit for bit here
+    q0 = jnp.clip(jnp.round(x / s["s_input"] + s["zp_input"]), *_I8)
+    x = (q0 - s["zp_input"]) * s["s_input"]
 
     # fp patch stem against fake-quantized weights (sim parity)
     pw = s["patch"]["w_q"].astype(jnp.float32) * s["patch"]["sw"][:, None]

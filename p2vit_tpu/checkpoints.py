@@ -355,6 +355,96 @@ def import_reference_state(ref_model, cfg: ViTConfig):
     )
 
 
+def import_reference_state_swin(ref_model, cfg):
+    """Swin twin of ``import_reference_state``: ingest a CALIBRATED
+    reference Swin (swin_quant.SwinTransformer run under the documented
+    reconstruction shims — see tests/test_reference_swin_parity.py — after
+    the open_calibrate → last_calibrate forward → model_quant protocol)
+    into our Swin QuantState.
+
+    Same state sources as the ViT importer (quantizer.scale/zero_point,
+    per-bit dic_scale rows, PTF masks rederived as round(scale/scale.min())
+    — layers.py:309-313); Swin has no smoothquant caches to carry
+    (SURVEY §2 ⚠: P²-ViT never wired SmoothQuant into Swin).
+
+    ``global_distance`` is zeros (not stored by the reference): imported
+    state serves fixed/uniform-bit evaluation; run ``calibrate`` for the
+    mixed-precision search artifacts.
+    """
+    from .models.swin import SwinCalibResult, swin_flops
+
+    def arr(t):
+        return jnp.asarray(np.asarray(t.detach().cpu(), dtype=np.float32))
+
+    def act(m):
+        q = m.quantizer
+        scale, zp = arr(q.scale), arr(q.zero_point)
+        if scale.ndim == 0 or scale.size == 1:
+            return {"scale": scale.reshape(()), "zp": zp.reshape(())}
+        scale = scale.reshape(-1)
+        mask = jnp.round(scale / scale.min())
+        return {"scale": scale, "zp": zp.reshape(()), "mask": mask}
+
+    def wdic(m, o):
+        dic = m.quantizer.dic_scale
+        return jnp.stack(
+            [jnp.broadcast_to(arr(dic[k]).reshape(-1), (o,))
+             for k in _WEIGHT_DIC_KEYS]
+        )
+
+    qs: dict = {
+        "qact_input": act(ref_model.qact_input),
+        "patch_wscale": wdic(ref_model.patch_embed.proj, cfg.embed_dim),
+        "patch_qact_bn": act(ref_model.patch_embed.qact_before_norm),
+        "patch_qact": act(ref_model.patch_embed.qact),
+        "stages": [],
+        "qact2": act(ref_model.qact2),
+        "qact3": act(ref_model.qact3),
+        "head_wscale": wdic(ref_model.head, cfg.num_classes),
+        "act_out": act(ref_model.act_out),
+    }
+    for i, layer in enumerate(ref_model.layers):
+        c = cfg.stage_dim(i)
+        st: dict = {"blocks": []}
+        for blk in layer.blocks:
+            aq = {
+                "qkv_wscale": wdic(blk.attn.qkv, 3 * c),
+                "qact1": act(blk.attn.qact1),
+                "qact_attn1": act(blk.attn.qact_attn1),
+                "qact_table": act(blk.attn.qact_table),
+                "qact2": act(blk.attn.qact2),
+                "qact3": act(blk.attn.qact3),
+                "proj_wscale": wdic(blk.attn.proj, c),
+                "qact4": act(blk.attn.qact4),
+            }
+            st["blocks"].append(
+                {
+                    "qact1": act(blk.qact1),
+                    "attn": aq,
+                    "qact2": act(blk.qact2),
+                    "qact3": act(blk.qact3),
+                    "fc1_wscale": wdic(blk.mlp.fc1, int(c * cfg.mlp_ratio)),
+                    "mlp_qact1": act(blk.mlp.qact1),
+                    "fc2_wscale": wdic(blk.mlp.fc2, c),
+                    "mlp_qact2": act(blk.mlp.qact2),
+                    "qact4": act(blk.qact4),
+                }
+            )
+        if layer.downsample is not None:
+            st["downsample"] = {
+                "qact1": act(layer.downsample.qact1),
+                "red_wscale": wdic(layer.downsample.reduction, 2 * c),
+                "qact2": act(layer.downsample.qact2),
+            }
+        qs["stages"].append(st)
+    flops = swin_flops(cfg)
+    return SwinCalibResult(
+        qstate=qs,
+        flops=flops,
+        global_distance=jnp.zeros((cfg.num_matmuls, len(_WEIGHT_DIC_KEYS))),
+    )
+
+
 # ---------------------------------------------------------------------------
 # QuantState serialization (first-class calibration artifact)
 # ---------------------------------------------------------------------------

@@ -61,7 +61,7 @@ BITS = ["uint3", "uint4", "int4", "int8"]
 
 
 @pytest.fixture(scope="module")
-def ref_setup():
+def ref_env():
     sys.path.insert(0, REF)
     orig_t, orig_m = torch.Tensor.cuda, torch.nn.Module.cuda
     torch.Tensor.cuda = lambda self, *a, **k: self
@@ -95,26 +95,30 @@ def ref_setup():
     lq.Mlp.forward = mlp_fwd
     RefLN.forward = ln_fwd
 
-    cfg_ref = Config(True, True, "minmax")
-    model = SwinTransformer(
-        img_size=STINY.img_size, patch_size=STINY.patch_size,
-        num_classes=STINY.num_classes, embed_dim=STINY.embed_dim,
-        depths=STINY.depths, num_heads=STINY.num_heads,
-        window_size=STINY.window_size, drop_path_rate=0.0,
-        norm_layer=RefLN,  # swin_quant.py:929 (plain, torch default eps)
-        input_quant=True, cfg=cfg_ref,
-    )
-    yield model, lq
+    env = {"lq": lq, "Config": Config, "RefLN": RefLN,
+           "SwinTransformer": SwinTransformer}
+    yield env
     lq.PatchEmbed.forward, lq.Mlp.forward, RefLN.forward = orig_pe, orig_mlp, orig_ln
     torch.Tensor.cuda, torch.nn.Module.cuda = orig_t, orig_m
     sys.path.remove(REF)
 
 
-def _load_our_params(model, params):
+def _build_ref_model(env, scfg):
+    return env["SwinTransformer"](
+        img_size=scfg.img_size, patch_size=scfg.patch_size,
+        num_classes=scfg.num_classes, embed_dim=scfg.embed_dim,
+        depths=scfg.depths, num_heads=scfg.num_heads,
+        window_size=scfg.window_size, drop_path_rate=0.0,
+        norm_layer=env["RefLN"],  # swin_quant.py:929 (torch default eps)
+        input_quant=True, cfg=env["Config"](True, True, "minmax"),
+    )
+
+
+def _load_our_params(model, params, scfg=STINY):
     t = lambda a: torch.from_numpy(np.asarray(a, dtype=np.float32))
     sd = model.state_dict()
     sd["patch_embed.proj.weight"] = t(params["patch_embed"]["w"]).reshape(
-        STINY.embed_dim, 3, STINY.patch_size, STINY.patch_size
+        scfg.embed_dim, 3, scfg.patch_size, scfg.patch_size
     )
     sd["patch_embed.proj.bias"] = t(params["patch_embed"]["b"])
     sd["patch_embed.norm.weight"] = t(params["patch_norm"]["w"])
@@ -140,17 +144,22 @@ def _load_our_params(model, params):
     model.load_state_dict(sd)
 
 
-@pytest.fixture(scope="module")
-def calibrated(ref_setup):
-    model, lq = ref_setup
-    params = swin.init_params(jax.random.PRNGKey(0), STINY)
-    _load_our_params(model, params)
+def _calibrate_pair(env, scfg, calib_batch):
+    """Build the shimmed reference + our rebuild on the same weights, run
+    both calibrations on the same batch. Returns (model, params, x, policy,
+    calib)."""
+    model = _build_ref_model(env, scfg)
+    params = swin.init_params(jax.random.PRNGKey(0), scfg)
+    _load_our_params(model, params, scfg)
     for layer in model.layers:  # shim 4: zero bias for the bias-less QLinear
         if layer.downsample is not None:
             red = layer.downsample.reduction
             red.bias = torch.nn.Parameter(torch.zeros(red.out_features))
     x = np.asarray(
-        jax.random.normal(jax.random.PRNGKey(1), (4, 3, 32, 32)), dtype=np.float32
+        jax.random.normal(
+            jax.random.PRNGKey(1), (calib_batch, 3, scfg.img_size, scfg.img_size)
+        ),
+        dtype=np.float32,
     )
 
     # reference calibration protocol (SURVEY §3.1)
@@ -162,12 +171,17 @@ def calibrated(ref_setup):
     model.model_close_calibrate()
     model.model_quant()
     for m in model.modules():  # neutralize the smoothquant-only qact0
-        if isinstance(m, lq.Mlp):
+        if isinstance(m, env["lq"].Mlp):
             m.qact0.quant = False
 
     policy = make_policy(True, True, "minmax")
-    calib = swin.calibrate(params, STINY, policy, jnp.asarray(x))
+    calib = swin.calibrate(params, scfg, policy, jnp.asarray(x))
     return model, params, x, policy, calib
+
+
+@pytest.fixture(scope="module")
+def calibrated(ref_env):
+    return _calibrate_pair(ref_env, STINY, 4)
 
 
 def test_swin_full_model_parity(calibrated):
@@ -277,4 +291,183 @@ def test_swin_serving_matches_reference_argmax(calibrated):
         ss, calib.qstate, STINY, policy, jnp.asarray(x), use_pallas=False))
     with torch.no_grad():
         ref_logits = model(torch.from_numpy(x)).numpy()
+    assert (srv.argmax(1) == ref_logits.argmax(1)).all()
+
+
+@pytest.mark.slow
+def test_full_size_swin_tiny_parity(ref_env):
+    """Golden parity at REAL Swin-Tiny geometry (224², C=96, depths 2/2/6/2,
+    heads 3/6/12/24, window 7) — the first time the reference Swin has run
+    at full size at all (it cannot run unshimmed). Same evidence structure
+    as the full-size ViT tests (test_reference_model_parity.py): decisions
+    exact up to measured knife-edge envelopes, logits drift bounded, argmax
+    agreement on a fresh 16-image batch, serving tracks the simulation."""
+    from p2vit_tpu.models import SWIN_ZOO
+
+    scfg = SWIN_ZOO["swin_tiny_patch4_window7_224"]
+    model, params, x, policy, calib = _calibrate_pair(ref_env, scfg, 2)
+    qs = calib.qstate
+    x_eval = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(2), (16, 3, 224, 224)),
+        dtype=np.float32,
+    )
+
+    def exact(ours, theirs, name):
+        np.testing.assert_array_equal(
+            np.asarray(ours).reshape(-1), theirs.detach().numpy().reshape(-1),
+            err_msg=name,
+        )
+
+    def pot_rows(ours, theirs, name, max_flip_frac=0.005):
+        """Per-bit weight PoT rows: exact up to 4-candidate argmin knife
+        edges (see test_reference_model_parity.py::pot_rows for the
+        measured envelope)."""
+        o = np.asarray(ours).reshape(-1)
+        t = theirs.detach().numpy().reshape(-1)
+        if t.size == 1 and o.size > 1:
+            t = np.full_like(o, t[0])
+        neq = o != t
+        if not neq.any():
+            return
+        ratio = o[neq] / t[neq]
+        assert np.all(np.isin(ratio, [0.125, 0.25, 0.5, 2.0, 4.0, 8.0])), (
+            f"{name}: non-candidate PoT mismatch (ratios {np.unique(ratio)})"
+        )
+        assert neq.mean() <= max_flip_frac, (
+            f"{name}: {neq.sum()}/{neq.size} candidate flips"
+        )
+
+    def ptf(ours, theirs, name, base_tol=1e-4):
+        """PTF float scales: layer-global base drift + rare exact-PoT mask
+        flips (the full-size ViT envelope, test_reference_model_parity.py)."""
+        o = np.asarray(ours).reshape(-1).astype(np.float64)
+        t = theirs.detach().numpy().reshape(-1).astype(np.float64)
+        ratio = o / t
+        base = np.median(ratio)
+        assert abs(base - 1.0) < base_tol, f"{name}: base drift {base}"
+        r2 = ratio / base
+        flipped = np.abs(r2 - 1.0) > 1e-4
+        assert flipped.mean() <= 0.01, (
+            f"{name}: {flipped.sum()}/{ratio.size} channels diverge"
+        )
+        if flipped.any():
+            pot = 2.0 ** np.round(np.log2(r2[flipped]))
+            np.testing.assert_allclose(r2[flipped], pot, rtol=1e-4,
+                                       err_msg=f"{name}: non-PoT flip")
+            assert np.all((pot >= 0.25) & (pot <= 4.0)), name
+
+    exact(qs["qact_input"]["scale"], model.qact_input.quantizer.scale,
+          "qact_input")
+    exact(qs["patch_qact_bn"]["scale"],
+          model.patch_embed.qact_before_norm.quantizer.scale, "patch qact_bn")
+    exact(qs["patch_qact"]["scale"], model.patch_embed.qact.quantizer.scale,
+          "patch qact")
+    exact(qs["qact2"]["scale"], model.qact2.quantizer.scale, "final qact2")
+    exact(qs["qact3"]["scale"], model.qact3.quantizer.scale, "final qact3")
+    for i, layer in enumerate(model.layers):
+        sq = qs["stages"][i]
+        for j, blk in enumerate(layer.blocks):
+            bq, aq, tag = sq["blocks"][j], sq["blocks"][j]["attn"], f"s{i}b{j}"
+            exact(bq["qact1"]["scale"], blk.qact1.quantizer.scale,
+                  f"{tag} qact1")
+            exact(aq["qact1"]["scale"], blk.attn.qact1.quantizer.scale,
+                  f"{tag} a.qact1")
+            exact(aq["qact_attn1"]["scale"],
+                  blk.attn.qact_attn1.quantizer.scale, f"{tag} attn1")
+            exact(aq["qact_table"]["scale"],
+                  blk.attn.qact_table.quantizer.scale, f"{tag} table")
+            exact(aq["qact2"]["scale"], blk.attn.qact2.quantizer.scale,
+                  f"{tag} a.qact2")
+            exact(bq["qact3"]["scale"], blk.qact3.quantizer.scale,
+                  f"{tag} qact3")
+            ptf(bq["qact2"]["scale"], blk.qact2.quantizer.scale,
+                f"{tag} qact2 PTF")
+            ptf(bq["qact4"]["scale"], blk.qact4.quantizer.scale,
+                f"{tag} qact4 PTF")
+            ptf(bq["mlp_qact2"]["scale"], blk.mlp.qact2.quantizer.scale,
+                f"{tag} m.qact2 PTF")
+            for k, bname in enumerate(BITS):
+                pot_rows(aq["qkv_wscale"][k],
+                         blk.attn.qkv.quantizer.dic_scale[bname],
+                         f"{tag} qkv wscale {bname}")
+                pot_rows(bq["fc1_wscale"][k],
+                         blk.mlp.fc1.quantizer.dic_scale[bname],
+                         f"{tag} fc1 wscale {bname}")
+        if layer.downsample is not None:
+            dq = sq["downsample"]
+            exact(dq["qact1"]["scale"], layer.downsample.qact1.quantizer.scale,
+                  f"s{i} ds.qact1")
+            ptf(dq["qact2"]["scale"], layer.downsample.qact2.quantizer.scale,
+                f"s{i} ds.qact2 PTF")
+            for k, bname in enumerate(BITS):
+                pot_rows(dq["red_wscale"][k],
+                         layer.downsample.reduction.quantizer.dic_scale[bname],
+                         f"s{i} reduction wscale {bname}")
+
+    # quantized logits on a FRESH 16-image batch (full-size value parity is
+    # unattainable by construction — see test_reference_model_parity.py's
+    # measured drift taxonomy; decisions above are the exact layer)
+    with torch.no_grad():
+        ref_logits = model(torch.from_numpy(x_eval)).numpy()
+    ours = np.asarray(
+        swin.quant_forward(params, qs, scfg, policy, jnp.asarray(x_eval), 8)
+    )
+    rel = np.linalg.norm(ours - ref_logits) / max(np.linalg.norm(ref_logits), 1e-9)
+    assert rel < 0.3, f"full-size Swin-T W8A8 diverges: rel={rel}"
+    am_o, am_r = ours.argmax(1), ref_logits.argmax(1)
+    agree = float((am_o == am_r).mean())
+    assert agree >= 0.8, f"argmax agreement {agree} over 16 images"
+    top5 = np.argsort(-ref_logits, axis=1)[:, :5]
+    for img in np.where(am_o != am_r)[0]:
+        assert am_o[img] in top5[img], (
+            f"image {img}: flipped argmax is not a reference near-tie"
+        )
+
+    # int8 serving at full size tracks the simulation
+    from p2vit_tpu import serving_swin
+
+    ss = serving_swin.convert(params, qs, scfg, policy, 8)
+    srv = np.asarray(serving_swin.serving_forward(
+        ss, qs, scfg, policy, jnp.asarray(x_eval), use_pallas=False))
+    srel = np.linalg.norm(srv - ours) / max(np.linalg.norm(ours), 1e-9)
+    assert srel < 0.3, f"full-size Swin serving: rel={srel}"
+    am_s = srv.argmax(1)
+    s_agree = float((am_s == am_o).mean())
+    assert s_agree >= 0.8, f"serving argmax agreement {s_agree}"
+    ours_top5 = np.argsort(-ours, axis=1)[:, :5]
+    for img in np.where(am_s != am_o)[0]:
+        assert am_s[img] in ours_top5[img], (
+            f"image {img}: serving flip is not a near-tie"
+        )
+
+
+def test_swin_decision_import_reproduces_reference_logits(calibrated):
+    """import_reference_state_swin: ingest the reference-calibrated Swin
+    quantizer state and reproduce its quantized logits WITHOUT running our
+    calibration (the ViT decision-import capability, now for Swin)."""
+    from p2vit_tpu import checkpoints, serving_swin
+
+    model, params, x, policy, calib = calibrated
+    imported = checkpoints.import_reference_state_swin(model, STINY)
+
+    with torch.no_grad():
+        ref_logits = model(torch.from_numpy(x)).numpy()
+    ours = np.asarray(
+        swin.quant_forward(params, imported.qstate, STINY, policy,
+                           jnp.asarray(x), 8)
+    )
+    rel = np.linalg.norm(ours - ref_logits) / max(np.linalg.norm(ref_logits), 1e-9)
+    assert rel < 2e-2, f"imported-state Swin logits diverge: rel={rel}"
+    assert (ours.argmax(1) == ref_logits.argmax(1)).all()
+
+    # the imported state must also round-trip through the serializer and
+    # drive the serving pipeline
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".npz") as f:
+        checkpoints.save_quant_state(f.name, imported)
+        loaded = checkpoints.load_quant_state(f.name)
+    ss = serving_swin.convert(params, loaded.qstate, STINY, policy, 8)
+    srv = np.asarray(serving_swin.serving_forward(
+        ss, loaded.qstate, STINY, policy, jnp.asarray(x), use_pallas=False))
     assert (srv.argmax(1) == ref_logits.argmax(1)).all()

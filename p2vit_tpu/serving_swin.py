@@ -251,13 +251,14 @@ def _bias_values(sb, aq, ws, n, n_heads):
     jax.jit,
     static_argnames=("cfg", "policy", "interpret", "use_pallas",
                      "pallas_attn", "lis", "fuse_res", "fuse_stem",
-                     "reorder", "fold_windows"),
+                     "reorder", "fold_windows", "int_stem"),
 )
 def serving_forward(s, qstate, cfg: SwinConfig, policy: QuantPolicy, x,
                     interpret: bool = False, use_pallas: bool = True,
                     pallas_attn: bool = True, lis: bool | None = None,
                     fuse_res: bool = True, fuse_stem: bool = False,
-                    reorder: str = "real", fold_windows: bool = False):
+                    reorder: str = "real", fold_windows: bool = False,
+                    int_stem: bool = False):
     """Run the Swin int8 pipeline on an image batch (host-normalized f32,
     or RAW uint8 after ``attach_u8_ingest``); returns f32 logits.
 
@@ -296,6 +297,14 @@ def serving_forward(s, qstate, cfg: SwinConfig, policy: QuantPolicy, x,
     passes input_quant=True — swin_quant.py:697-705,930,957,984), then the
     patch conv runs fp on the quantized image against fake-quantized
     weights; everything downstream is int8 codes.
+
+    ``int_stem`` (takes precedence over ``fuse_stem``): run the patch stem
+    as an int8 MXU matmul on the input CODES with the requant fused into
+    the epilogue (the ViT embed treatment, legal now that qact_input
+    exists) — exact int32 accumulation where the fp stem rounds in f32, so
+    it differs from the fp stem at round-to-nearest knife edges only.
+    Requires the symmetric (zp=0) input quantizer the minmax policy
+    produces. Default set by on-chip A/B.
     """
     mm = int8_matmul_requant if use_pallas else int8_matmul_requant_ref
     mm_res_ln = int8_matmul_res_ln if use_pallas else int8_matmul_res_ln_ref
@@ -313,21 +322,35 @@ def serving_forward(s, qstate, cfg: SwinConfig, policy: QuantPolicy, x,
     q0 = jnp.clip(jnp.round(x / s["s_input"] + s["zp_input"]), *_I8)
     x = (q0 - s["zp_input"]) * s["s_input"]
 
-    # fp patch stem against fake-quantized weights (sim parity)
-    pw = s["patch"]["w_q"].astype(jnp.float32) * s["patch"]["sw"][:, None]
-    px = _patches(x, cfg.patch_size)
-    if fuse_stem and use_pallas:
+    sq_bn = qstate["patch_qact_bn"]["scale"]
+    if int_stem:
+        # int8 patch stem: input CODES @ w_q on the int8 MXU, requant to
+        # patch_qact_bn codes fused into the epilogue (the ViT embed
+        # treatment; zp=0 symmetric input quantizer assumed — minmax A).
+        pc = _patches(q0.astype(jnp.int8), cfg.patch_size)
+        xc = mm(
+            pc.reshape(-1, pc.shape[-1]), s["patch"]["w_q"],
+            s["s_input"] * s["patch"]["sw"] / sq_bn,
+            s["patch_b"] / sq_bn, **mm_kw,
+        ).reshape(b, pc.shape[1], -1)
+        xc = _iln(xc, sq_bn, s["patch_norm"], qstate["patch_qact"]["scale"],
+                  interpret=interpret, use_pallas=use_pallas)
+    elif fuse_stem and use_pallas:
         # one kernel: f32 matmul + bias + requant + patch-norm int-LN
         # (ops/swin_stem.py; 2.2 ms of staged prologue otherwise)
+        pw = s["patch"]["w_q"].astype(jnp.float32) * s["patch"]["sw"][:, None]
+        px = _patches(x, cfg.patch_size)
         xc = fused_swin_stem(
             px.reshape(-1, px.shape[-1]), pw, s["patch_b"],
-            qstate["patch_qact_bn"]["scale"], s["patch_norm"]["w"],
+            sq_bn, s["patch_norm"]["w"],
             s["patch_norm"]["b"], qstate["patch_qact"]["scale"],
             interpret=interpret,
         ).reshape(b, px.shape[1], -1)
     else:
+        # fp patch stem against fake-quantized weights (sim parity)
+        pw = s["patch"]["w_q"].astype(jnp.float32) * s["patch"]["sw"][:, None]
+        px = _patches(x, cfg.patch_size)
         h = px @ pw.T + s["patch_b"]
-        sq_bn = qstate["patch_qact_bn"]["scale"]
         xc = jnp.clip(jnp.round(h / sq_bn), *_I8).astype(jnp.int8)
         xc = _iln(xc, sq_bn, s["patch_norm"], qstate["patch_qact"]["scale"],
                   interpret=interpret, use_pallas=use_pallas)

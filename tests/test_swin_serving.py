@@ -247,3 +247,24 @@ def test_swin_fold_windows_matches_default(setup):
         ss, calib.qstate, TINY, policy, x, use_pallas=True, interpret=True,
         fold_windows=True))
     assert np.array_equal(base, fold)
+
+
+def test_swin_int_stem_matches_fp_stem(setup):
+    """int8 patch stem (input codes @ w_q on the MXU, fused requant) vs the
+    fp stem: exact int32 accumulation vs f32 rounding — knife-edge-only
+    differences, so decisions must agree and values stay tight."""
+    policy, params, x, calib = setup
+    ss = serving_swin.convert(params, calib.qstate, TINY, policy, 8)
+    a = np.asarray(serving_swin.serving_forward(
+        ss, calib.qstate, TINY, policy, x, use_pallas=False))
+    b = np.asarray(serving_swin.serving_forward(
+        ss, calib.qstate, TINY, policy, x, use_pallas=False, int_stem=True))
+    assert (a.argmax(1) == b.argmax(1)).all()
+    rel = np.linalg.norm(a - b) / max(np.linalg.norm(a), 1e-9)
+    assert rel < 5e-2, f"int_stem diverges from fp stem: rel={rel}"
+    # the Pallas int_stem arm compiles and agrees in interpret mode (the
+    # mm kernel itself is bit-exact-tested against its ref twin elsewhere)
+    c = np.asarray(serving_swin.serving_forward(
+        ss, calib.qstate, TINY, policy, x, use_pallas=True, interpret=True,
+        int_stem=True))
+    assert (c.argmax(1) == b.argmax(1)).all()

@@ -117,12 +117,16 @@ def section_swin():
     f_fold = jax.jit(lambda xx: serving_swin.serving_forward(
         ss, calib.qstate, cfg, policy, xx, use_pallas=True,
         fold_windows=True))
+    # int_stem: int8 MXU patch stem on the input codes (legal since the
+    # qact_input parity fix) vs the fp stem — knife-edge-only differences
+    f_istem = jax.jit(lambda xx: serving_swin.serving_forward(
+        ss, calib.qstate, cfg, policy, xx, use_pallas=True, int_stem=True))
     a, b = np.asarray(f_xla(x[:8])), np.asarray(f_pal(x[:8]))
     agree = float((a.argmax(1) == b.argmax(1)).mean())
     rel = float(np.linalg.norm(a - b) / max(np.linalg.norm(a), 1e-9))
     print(f"swin attn parity on chip: rel={rel:.2e} argmax_agree={agree}")
     for other, fn_o in (("fuse_res", f_nofuse), ("fuse_stem", f_stem),
-                        ("fold_windows", f_fold)):
+                        ("fold_windows", f_fold), ("int_stem", f_istem)):
         c = np.asarray(fn_o(x[:8]))
         agree = float((b.argmax(1) == c.argmax(1)).mean())
         rel = float(np.linalg.norm(b - c) / max(np.linalg.norm(c), 1e-9))
@@ -131,7 +135,7 @@ def section_swin():
         assert agree == 1.0
     for name, fn in (("xla_attn", f_xla), ("pallas_attn", f_pal),
                      ("fuse_res_off", f_nofuse), ("fuse_stem_on", f_stem),
-                     ("fold_windows", f_fold)):
+                     ("fold_windows", f_fold), ("int_stem", f_istem)):
         ips = batch / _t(fn, x)
         RESULTS[f"swin_{name}_img_s"] = round(ips, 1)
         print(f"swin-tiny {name}: {ips:.1f} img/s")

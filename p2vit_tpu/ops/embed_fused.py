@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .intln import ln_mn_chain
+from .intln import _pad_to, ln_mn_chain
 
 _I8 = (-128.0, 127.0)
 
@@ -84,15 +84,6 @@ def _kernel(s_ref, px_ref, w_ref, vec_ref, pos_ref, cls_ref, xc_ref, h_ref,
         .astype(jnp.int8)
         .reshape(g, n_patch + 1, cpad)
     )
-
-
-def _pad_to(a, axis, mult):
-    pad = (-a.shape[axis]) % mult
-    if pad == 0:
-        return a
-    widths = [(0, 0)] * a.ndim
-    widths[axis] = (0, pad)
-    return jnp.pad(a, widths)
 
 
 @functools.partial(

@@ -198,6 +198,11 @@ def pack_int4(w_q: jnp.ndarray) -> jnp.ndarray:
                 f"[{wv.min()}, {wv.max()}] — `& 0xF` would silently corrupt "
                 f"out-of-range values (w=-100 packs as 12)"
             )
+    else:
+        # can't raise on traced values; saturate so jit-side packing of a
+        # buggy caller degrades to clamped codes instead of `& 0xF` wrap
+        # garbage (w=-100 would otherwise pack as 12)
+        w_q = jnp.clip(w_q, -8, 7)
     lo = w_q[:, : k // 2].astype(jnp.int32) & 0xF
     hi = w_q[:, k // 2 :].astype(jnp.int32) & 0xF
     return (lo | (hi << 4)).astype(jnp.int8)

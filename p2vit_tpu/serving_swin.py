@@ -303,8 +303,8 @@ def serving_forward(s, qstate, cfg: SwinConfig, policy: QuantPolicy, x,
     the epilogue (the ViT embed treatment, legal now that qact_input
     exists) — exact int32 accumulation where the fp stem rounds in f32, so
     it differs from the fp stem at round-to-nearest knife edges only.
-    Requires the symmetric (zp=0) input quantizer the minmax policy
-    produces. Default set by on-chip A/B.
+    A nonzero input zero-point folds into the bias exactly (derivation at
+    the call site). Default set by on-chip A/B.
     """
     mm = int8_matmul_requant if use_pallas else int8_matmul_requant_ref
     mm_res_ln = int8_matmul_res_ln if use_pallas else int8_matmul_res_ln_ref
@@ -326,12 +326,17 @@ def serving_forward(s, qstate, cfg: SwinConfig, policy: QuantPolicy, x,
     if int_stem:
         # int8 patch stem: input CODES @ w_q on the int8 MXU, requant to
         # patch_qact_bn codes fused into the epilogue (the ViT embed
-        # treatment; zp=0 symmetric input quantizer assumed — minmax A).
+        # treatment). The input zero-point folds into the bias exactly:
+        # (q0-zp)@Wᵀ·s·sw = q0@Wᵀ·s·sw − zp·s·(sw·Σ_k w[:,k]), so a nonzero
+        # zp (asymmetric input observer, imported reference state) costs one
+        # weight-column reduction, not correctness.
         pc = _patches(q0.astype(jnp.int8), cfg.patch_size)
+        wsum = jnp.sum(s["patch"]["w_q"].astype(jnp.float32), axis=1)
+        zp_b = s["zp_input"] * s["s_input"] * s["patch"]["sw"] * wsum
         xc = mm(
             pc.reshape(-1, pc.shape[-1]), s["patch"]["w_q"],
             s["s_input"] * s["patch"]["sw"] / sq_bn,
-            s["patch_b"] / sq_bn, **mm_kw,
+            (s["patch_b"] - zp_b) / sq_bn, **mm_kw,
         ).reshape(b, pc.shape[1], -1)
         xc = _iln(xc, sq_bn, s["patch_norm"], qstate["patch_qact"]["scale"],
                   interpret=interpret, use_pallas=use_pallas)

@@ -305,7 +305,14 @@ def main():
             from p2vit_tpu import analysis
 
             imgs, _ = next(data.iterate_batches(val, min(args.val_batchsize, 8)))
-            acts = analysis.collect_activations(params, cfg, jnp.asarray(imgs))
+            imgs = jnp.asarray(imgs)
+            if u8:
+                # --u8-ingest makes val yield RAW uint8; the fp activation
+                # taps expect normalized f32, so replay the normalize here
+                mean = jnp.asarray(pp["mean"], jnp.float32)[:, None, None]
+                std = jnp.asarray(pp["std"], jnp.float32)[:, None, None]
+                imgs = (imgs.astype(jnp.float32) / 255.0 - mean) / std
+            acts = analysis.collect_activations(params, cfg, imgs)
             paths = analysis.plot_distribution(acts, args.model, args.quant)
             print(f"wrote {len(paths)} activation plots to figs/")
 

@@ -552,10 +552,11 @@ def test_full_size_deit_small_parity(ref_setup):
 def test_full_size_deit_base_parity(ref_setup):
     """Golden parity at DeiT-Base geometry (dim 768, 12 heads, hidden 3072
     — the widest PTF/int-LN channel regime in the DeiT family; rounds out
-    the tiny/small coverage). W8 only, calibration-batch only for eval
-    (the torch-eager reference calibration dominates this test's minutes;
-    cross-framework decision equality is the point, the drift envelope is
-    pinned at tiny/small).
+    the tiny/small coverage). W8 only, with the same fresh 16-image eval
+    batch as the other full-size tests (the torch-eager reference
+    CALIBRATION dominates this test's minutes, so trimming the eval batch
+    would buy nothing; cross-framework decision equality is the point, the
+    drift envelope is pinned at tiny/small).
 
     Ref: /root/reference/models/vit_fquant.py:996-1020 (deit_base geometry).
     """

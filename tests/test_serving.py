@@ -272,3 +272,8 @@ def test_pack_int4_rejects_out_of_range_codes():
     w = jnp.full((4, 8), -100, jnp.int8)
     with pytest.raises(ValueError, match="int4 codes"):
         pack_int4(w)
+    # under jit the value check can't raise — out-of-range codes saturate
+    # to [-8, 7] instead of wrapping through `& 0xF`
+    packed = jax.jit(pack_int4)(w)
+    expect = jax.jit(pack_int4)(jnp.full((4, 8), -8, jnp.int8))
+    assert (np.asarray(packed) == np.asarray(expect)).all()

@@ -268,3 +268,21 @@ def test_swin_int_stem_matches_fp_stem(setup):
         ss, calib.qstate, TINY, policy, x, use_pallas=True, interpret=True,
         int_stem=True))
     assert (c.argmax(1) == b.argmax(1)).all()
+
+
+def test_swin_int_stem_nonzero_zero_point(setup):
+    """The int_stem bias fold handles a nonzero input zero-point exactly:
+    (q0−zp)@Wᵀ·s·sw = q0@Wᵀ·s·sw − zp·s·(sw·Σ_k w) — perturb zp_input in the
+    frozen state and both stems must still track each other (an asymmetric
+    input observer or an imported reference state can carry zp≠0)."""
+    policy, params, x, calib = setup
+    ss = dict(serving_swin.convert(params, calib.qstate, TINY, policy, 8))
+    ss["zp_input"] = ss["zp_input"] + 3.0
+    a = np.asarray(serving_swin.serving_forward(
+        ss, calib.qstate, TINY, policy, x, use_pallas=False))
+    b = np.asarray(serving_swin.serving_forward(
+        ss, calib.qstate, TINY, policy, x, use_pallas=False, int_stem=True))
+    assert np.isfinite(b).all()
+    assert (a.argmax(1) == b.argmax(1)).all()
+    rel = np.linalg.norm(a - b) / max(np.linalg.norm(a), 1e-9)
+    assert rel < 5e-2, f"zp fold wrong: rel={rel}"

@@ -286,3 +286,26 @@ def test_swin_int_stem_nonzero_zero_point(setup):
     assert (a.argmax(1) == b.argmax(1)).all()
     rel = np.linalg.norm(a - b) / max(np.linalg.norm(a), 1e-9)
     assert rel < 5e-2, f"zp fold wrong: rel={rel}"
+
+
+@pytest.mark.parametrize("lis", [True, False])
+def test_swin_all_options_combined(setup, lis):
+    """Every serving option at once (fold_windows + int_stem + fuse_res, the
+    full candidate default set, LIS on AND off) tracks the plain default
+    path. The per-option tests pin each arm alone; this pins the
+    interactions — the stem feeds the first block's codes, fold_windows
+    changes the attention kernel's input layout, fuse_res changes which
+    kernel emits each block's LN codes — so a regression in any handoff
+    shows up before the on-chip A/B does. int_stem is the only inexact arm
+    (f32-vs-int32 stem knife edges), so the envelope matches its solo test."""
+    policy, params, x, calib = setup
+    ss = serving_swin.convert(params, calib.qstate, TINY, policy, 8)
+    base = np.asarray(serving_swin.serving_forward(
+        ss, calib.qstate, TINY, policy, x, use_pallas=False, lis=lis))
+    combo = np.asarray(serving_swin.serving_forward(
+        ss, calib.qstate, TINY, policy, x, use_pallas=True, interpret=True,
+        lis=lis, fold_windows=True, int_stem=True, fuse_res=True))
+    assert np.isfinite(combo).all()
+    assert (base.argmax(1) == combo.argmax(1)).all()
+    rel = np.linalg.norm(combo - base) / max(np.linalg.norm(base), 1e-9)
+    assert rel < 5e-2, f"combined options diverge: rel={rel}"

@@ -164,6 +164,18 @@ def _zoo_one(name, batch=8):
             pallas_attn=True))
         sim = np.asarray(serving_swin.serving_forward(
             ss, calib.qstate, cfg, policy, x, use_pallas=False))
+        # candidate-default option set (fold_windows + int_stem) at THIS
+        # geometry: if the Swin-T A/B flips either default, Swin-S/B must
+        # already have compiled + argmax-matched on chip (the C=1536 VMEM
+        # incident rule: interpret mode cannot vouch for Mosaic). int_stem
+        # is knife-edge inexact → allow one flip in the batch of 8.
+        opts = np.asarray(serving_swin.serving_forward(
+            ss, calib.qstate, cfg, policy, x, use_pallas=True,
+            pallas_attn=True, fold_windows=True, int_stem=True))
+        oagree = float((opts.argmax(1) == sim.argmax(1)).mean())
+        RESULTS[f"zoo_{name}_opts_argmax_agree"] = oagree
+        print(f"zoo {name} (fold+int_stem): argmax_agree={oagree}")
+        assert oagree >= 0.875, f"{name}: option set diverges ({oagree})"
     else:
         params = vit.init_params(jax.random.PRNGKey(0), cfg)
         qstate = vit.synthetic_qstate(cfg)

@@ -499,7 +499,15 @@ def _swin_head_loop(qkv, bias, mask_add, rq, s1, inv_s2, ro, *, n_valid,
         col = jax.lax.broadcasted_iota(jnp.int32, attn2.shape, 2)
         # park padded key columns so they can't win the row max
         attn2 = jnp.where(col < n_valid, attn2, jnp.float32(-(2.0**30)))
-        if lis:
+        if lis == "bypass":
+            # TIMING-ONLY mode (tools/ceiling_swin.py): replace the whole
+            # softmax/LIS chain with one multiply, keeping every dot, every
+            # requant and all DMA identical — the e2e slope difference vs
+            # lis=True is the in-situ cost of the mandated LIS chain (the
+            # ViT kernel's probe, mirrored). The math is WRONG (no
+            # normalization); never a serving mode.
+            attn_pot = jnp.where(col < n_valid, attn2 / inv_s2, 0.0)
+        elif lis:
             attn_pot = _lis_from_scores(attn2, 1.0 / inv_s2, col, n_valid,
                                         lis_bits)
         else:

@@ -311,7 +311,17 @@ def serving_forward(s, qstate, cfg: SwinConfig, policy: QuantPolicy, x,
     res_ln = int_res_ln_requant if use_pallas else int_res_ln_requant_ref
     mm_kw = {"interpret": interpret} if use_pallas else {}
     rl_kw = {"interpret": interpret} if use_pallas else {}
-    lis = bool(policy.int_softmax) if lis is None else bool(lis)
+    # "bypass" (timing-only, tools/ceiling_swin.py) must survive the
+    # normalization; everything else collapses to a plain bool so the jit
+    # static-arg cache sees one key per real mode.
+    if lis is None:
+        lis = bool(policy.int_softmax)
+    elif lis == "bypass":
+        # the probe only exists in the Pallas kernels' head loop; the XLA
+        # fallback would silently run the LIS chain and corrupt the probe
+        assert pallas_attn and use_pallas, "lis='bypass' needs pallas_attn"
+    else:
+        lis = bool(lis)
     b = x.shape[0]
     if x.dtype == jnp.uint8:
         # RAW uint8 ingestion: replay the host normalize on device
@@ -411,7 +421,7 @@ def serving_forward(s, qstate, cfg: SwinConfig, policy: QuantPolicy, x,
                     aq["qact_attn1"]["scale"],
                     aq["qact2"]["scale"],
                     aq["qact1"]["scale"] / aq["qact3"]["scale"],
-                    lis=bool(lis),
+                    lis=lis,
                     interpret=interpret,
                 )
                 if shift:
@@ -461,7 +471,7 @@ def serving_forward(s, qstate, cfg: SwinConfig, policy: QuantPolicy, x,
                         aq2["qact_attn1"]["scale"],
                         aq2["qact2"]["scale"],
                         aq2["qact1"]["scale"] / aq2["qact3"]["scale"],
-                        lis=bool(lis),
+                        lis=lis,
                         interpret=interpret,
                     )
                 else:

@@ -309,3 +309,22 @@ def test_swin_all_options_combined(setup, lis):
     assert (base.argmax(1) == combo.argmax(1)).all()
     rel = np.linalg.norm(combo - base) / max(np.linalg.norm(base), 1e-9)
     assert rel < 5e-2, f"combined options diverge: rel={rel}"
+
+
+def test_swin_lis_bypass_probe_runs(setup):
+    """lis="bypass" (the timing-only ceiling probe, tools/ceiling_swin.py)
+    must survive the serving lis-normalization, reach the kernels' probe
+    branch in both window layouts, and produce finite logits — its MATH is
+    deliberately wrong (no softmax normalization), so only shape/finiteness
+    and the guard are pinned here."""
+    policy, params, x, calib = setup
+    ss = serving_swin.convert(params, calib.qstate, TINY, policy, 8)
+    for fold in (False, True):
+        out = np.asarray(serving_swin.serving_forward(
+            ss, calib.qstate, TINY, policy, x, use_pallas=True,
+            interpret=True, lis="bypass", fold_windows=fold))
+        assert out.shape == (x.shape[0], TINY.num_classes)
+        assert np.isfinite(out).all()
+    with pytest.raises(AssertionError):
+        serving_swin.serving_forward(ss, calib.qstate, TINY, policy, x,
+                                     use_pallas=False, lis="bypass")

@@ -73,8 +73,10 @@ def stage2_mxu_floor_ms(cfg, B):
     hd = c // heads
     nw = (res // ws) ** 2            # windows per image
     m = B * res * res                # tokens
+    # qk^T computes the full nk-row padded panel (the nr chain trim slices
+    # AFTER the dot — ops/attention_lis._swin_head_loop); av runs nr rows
     macs = (m * c * 3 * c                         # qkv
-            + B * nw * heads * 2 * nr * nk * hd   # qk^T + av, padded
+            + B * nw * heads * (nk * nk + nr * nk) * hd   # qk^T + av
             + m * c * c                           # proj
             + 2 * m * c * hid)                    # fc1, fc2
     return macs * 2 / MXU_TOPS * 1e3

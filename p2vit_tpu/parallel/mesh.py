@@ -107,3 +107,31 @@ def sharded_minmax_stats(mesh: Mesh, x) -> MinMaxStats:
         return MinMaxStats(min_val=m.min(axis=0), max_val=m.max(axis=0))
 
     return stats(xs)
+
+
+def dp_serving_fn(inner, mesh: Mesh):
+    """Wrap a per-batch serving callable for data-parallel eval over the
+    mesh's "data" axis: pad the batch to a device multiple (repeating the
+    last example — eval loops yield a short final batch), shard, run under
+    the mesh, trim the pad rows off the logits.
+
+    ``inner(x, *args, **kwargs) -> logits`` must be per-example math (the
+    int8 serving pipelines are — tests/test_parallel.py pins bitwise
+    equality to single-device); the converted serving state it closes over
+    should be placed with :func:`replicate` so GSPMD never resolves an
+    ambiguous placement. This is the CLI's ``--dp N`` glue
+    (test_quant.py), kept here so it is unit-testable without the CLI."""
+    n = int(np.prod(mesh.devices.shape))
+
+    def fn(x, *args, **kwargs):
+        b = x.shape[0]
+        pad = (-b) % n
+        if pad:
+            x = jnp.concatenate(
+                [x, jnp.broadcast_to(x[-1:], (pad,) + x.shape[1:])], axis=0
+            )
+        with mesh:
+            out = inner(shard_batch(mesh, x), *args, **kwargs)
+        return out[:b]
+
+    return fn

@@ -121,6 +121,11 @@ def build_parser():
                    help="(with --serve) feed RAW uint8 batches and replay "
                         "normalize+quantize on device — bit-identical logits, "
                         "4x smaller host->device transfer")
+    p.add_argument("--dp", default=0, type=int, metavar="N",
+                   help="(with --serve) data-parallel serving eval over an "
+                        "N-device ('data',) mesh — state replicated, batches "
+                        "padded/sharded/trimmed; bitwise equal to single-"
+                        "device (tests/test_parallel.py)")
     return p
 
 
@@ -237,26 +242,45 @@ def main():
         print("--u8-ingest needs --quant --serve; ignoring")
     val = make_dataset("val", raw=u8)
 
+    dp_mesh = None
+    if args.dp and args.dp > 1:
+        if args.quant and args.serve:
+            from p2vit_tpu.parallel import mesh as pmesh
+
+            dp_mesh = pmesh.make_mesh(args.dp, model_parallel=1)
+            print(f"serving data-parallel over {args.dp} devices")
+        else:
+            print("--dp needs --quant --serve; ignoring")
+
     if args.quant and is_swin and args.serve:
         from p2vit_tpu import serving_swin
 
         on_accel = jax.devices()[0].platform != "cpu"
         _sw_cache = {}
 
-        def model_fn(x, bit_config):
-            key = tuple(int(b) for b in bit_config)
+        def _sw_state(key):
             if key not in _sw_cache:
-                _sw_cache[key] = serving_swin.convert(
+                s = serving_swin.convert(
                     params, calib.qstate, cfg, policy, list(key)
                 )
                 if u8:
-                    serving_swin.attach_u8_ingest(
-                        _sw_cache[key], pp["mean"], pp["std"]
-                    )
+                    serving_swin.attach_u8_ingest(s, pp["mean"], pp["std"])
+                if dp_mesh is not None:
+                    s = pmesh.replicate(s, dp_mesh)
+                _sw_cache[key] = s
+            return _sw_cache[key]
+
+        def _sw_fwd(x, key):
             return serving_swin.serving_forward(
-                _sw_cache[key], calib.qstate, cfg, policy, x,
+                _sw_state(key), calib.qstate, cfg, policy, x,
                 use_pallas=on_accel,
             )
+
+        if dp_mesh is not None:
+            _sw_fwd = pmesh.dp_serving_fn(_sw_fwd, dp_mesh)
+
+        def model_fn(x, bit_config):
+            return _sw_fwd(x, tuple(int(b) for b in bit_config))
     elif args.quant and is_swin:
         # per-layer bit simulation (quant_forward_mixed serves uniform and
         # mixed configs with one executable — beyond the reference, whose
@@ -271,20 +295,28 @@ def main():
         on_accel = jax.devices()[0].platform != "cpu"
         _sstate_cache = {}
 
-        def model_fn(x, bit_config):
-            key = tuple(int(b) for b in bit_config)
+        def _vit_state(key):
             if key not in _sstate_cache:
-                _sstate_cache[key] = serving.convert(
-                    params, calib.qstate, cfg, policy, list(key)
-                )
+                s = serving.convert(params, calib.qstate, cfg, policy,
+                                    list(key))
                 if u8:
-                    serving.attach_u8_ingest(
-                        _sstate_cache[key], pp["mean"], pp["std"]
-                    )
+                    serving.attach_u8_ingest(s, pp["mean"], pp["std"])
+                if dp_mesh is not None:
+                    s = pmesh.replicate(s, dp_mesh)
+                _sstate_cache[key] = s
+            return _sstate_cache[key]
+
+        def _vit_fwd(x, key):
             return serving.serving_forward(
-                _sstate_cache[key], cfg, x, use_pallas=on_accel,
+                _vit_state(key), cfg, x, use_pallas=on_accel,
                 lis=policy.int_softmax,
             )
+
+        if dp_mesh is not None:
+            _vit_fwd = pmesh.dp_serving_fn(_vit_fwd, dp_mesh)
+
+        def model_fn(x, bit_config):
+            return _vit_fwd(x, tuple(int(b) for b in bit_config))
     elif args.quant:
         fwd = jax.jit(
             lambda p, q, x, bi: vit.quant_forward(p, q, cfg, policy, x, bi)

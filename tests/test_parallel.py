@@ -182,3 +182,28 @@ def test_swin_dp_serving_matches_single_device():
                 rstate, rq, cfg, policy, xx, use_pallas=False)
         )(pmesh.shard_batch(m, x)))
     np.testing.assert_array_equal(out, single)
+
+
+def test_dp_serving_fn_pads_and_trims(calibrated):
+    """dp_serving_fn (the CLI --dp glue): an UNEVEN batch (6 examples on a
+    4-device data axis) is padded to the device multiple, served under the
+    mesh, and trimmed back — logits bitwise equal to single-device, shape
+    preserved."""
+    policy, params, x, calib = calibrated
+    sstate = serving.convert(
+        params, calib.qstate, TINY, policy, [8] * TINY.num_matmuls
+    )
+    x6 = x[:6]
+    single = np.asarray(
+        serving.serving_forward(sstate, TINY, x6, use_pallas=False)
+    )
+
+    m = pmesh.make_mesh(4, model_parallel=1)
+    rstate = pmesh.replicate(sstate, m)
+    fn = pmesh.dp_serving_fn(
+        lambda xx: serving.serving_forward(rstate, TINY, xx,
+                                           use_pallas=False), m
+    )
+    out = np.asarray(fn(x6))
+    assert out.shape == single.shape
+    np.testing.assert_array_equal(out, single)

@@ -121,3 +121,29 @@ def pipeline_serving_forward(
     h_out = hs.reshape(b, *h.shape[1:])
     return serving.head_logits(s, h_out, use_pallas=use_pallas,
                                interpret=interpret)
+
+
+def pp_serving_fn(s, cfg: ViTConfig, mesh: Mesh, n_micro: int = 2,
+                  lis: bool = True, use_pallas: bool = True,
+                  interpret: bool = False):
+    """Per-batch callable for pipeline-parallel serving eval — the CLI's
+    ``--pp S`` glue (test_quant.py), mirroring mesh.dp_serving_fn: pad the
+    batch to a microbatch multiple (eval loops yield a short final batch),
+    run the GPipe schedule, trim the pad rows off the logits."""
+    assert cfg.depth % mesh.shape["stage"] == 0, (
+        f"depth {cfg.depth} not divisible by {mesh.shape['stage']} stages")
+
+    def fn(x):
+        b = x.shape[0]
+        pad = (-b) % n_micro
+        if pad:
+            x = jnp.concatenate(
+                [x, jnp.broadcast_to(x[-1:], (pad,) + x.shape[1:])], axis=0
+            )
+        out = pipeline_serving_forward(
+            s, cfg, x, mesh, n_micro=n_micro, lis=lis,
+            use_pallas=use_pallas, interpret=interpret,
+        )
+        return out[:b]
+
+    return fn

@@ -126,6 +126,15 @@ def build_parser():
                         "N-device ('data',) mesh — state replicated, batches "
                         "padded/sharded/trimmed; bitwise equal to single-"
                         "device (tests/test_parallel.py)")
+    p.add_argument("--pp", default=0, type=int, metavar="S",
+                   help="(with --serve, ViT/DeiT) pipeline the encoder over "
+                        "S mesh stages (GPipe microbatching, parallel/"
+                        "pipeline.py) — bitwise equal to single-device; "
+                        "depth must divide by S. Swin is DP-only "
+                        "(DESIGN.md: the token pyramid breaks PP's "
+                        "fixed-wire-format premise)")
+    p.add_argument("--pp-micro", default=2, type=int, metavar="M",
+                   help="(with --pp) GPipe microbatches per eval batch")
     return p
 
 
@@ -243,6 +252,23 @@ def main():
     val = make_dataset("val", raw=u8)
 
     dp_mesh = None
+    pp_mesh = None
+    if args.pp and args.pp > 1:
+        if not (args.quant and args.serve):
+            print("--pp needs --quant --serve; ignoring")
+        elif is_swin:
+            print("--pp is ViT/DeiT-only (DESIGN.md: Swin's token pyramid "
+                  "breaks the PP wire format); ignoring")
+        elif args.dp and args.dp > 1:
+            print("--pp and --dp are mutually exclusive (1-D meshes); "
+                  "using --pp")
+            args.dp = 0
+        if args.quant and args.serve and not is_swin and args.pp > 1:
+            from p2vit_tpu.parallel import pipeline as ppipe
+
+            pp_mesh = ppipe.make_pipeline_mesh(args.pp)
+            print(f"serving pipeline-parallel over {args.pp} stages, "
+                  f"{args.pp_micro} microbatches")
     if args.dp and args.dp > 1:
         if args.quant and args.serve:
             from p2vit_tpu.parallel import mesh as pmesh
@@ -306,14 +332,28 @@ def main():
                 _sstate_cache[key] = s
             return _sstate_cache[key]
 
-        def _vit_fwd(x, key):
-            return serving.serving_forward(
-                _vit_state(key), cfg, x, use_pallas=on_accel,
-                lis=policy.int_softmax,
-            )
+        if pp_mesh is not None:
+            _pp_cache = {}
 
-        if dp_mesh is not None:
-            _vit_fwd = pmesh.dp_serving_fn(_vit_fwd, dp_mesh)
+            def _vit_fwd(x, key):
+                if key not in _pp_cache:
+                    # the GPipe stage body is the fused-layer Pallas kernel
+                    # (no jnp twin) — interpret it off-accelerator
+                    _pp_cache[key] = ppipe.pp_serving_fn(
+                        _vit_state(key), cfg, pp_mesh,
+                        n_micro=args.pp_micro, lis=policy.int_softmax,
+                        use_pallas=True, interpret=not on_accel,
+                    )
+                return _pp_cache[key](x)
+        else:
+            def _vit_fwd(x, key):
+                return serving.serving_forward(
+                    _vit_state(key), cfg, x, use_pallas=on_accel,
+                    lis=policy.int_softmax,
+                )
+
+            if dp_mesh is not None:
+                _vit_fwd = pmesh.dp_serving_fn(_vit_fwd, dp_mesh)
 
         def model_fn(x, bit_config):
             return _vit_fwd(x, tuple(int(b) for b in bit_config))

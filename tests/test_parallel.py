@@ -207,3 +207,24 @@ def test_dp_serving_fn_pads_and_trims(calibrated):
     out = np.asarray(fn(x6))
     assert out.shape == single.shape
     np.testing.assert_array_equal(out, single)
+
+
+def test_pp_serving_fn_pads_and_trims(calibrated):
+    """pp_serving_fn (the CLI --pp glue): an UNEVEN batch (x[:5] with
+    n_micro=2) is padded to the microbatch multiple, GPipe-scheduled, and
+    trimmed back — logits bitwise equal to fused-layer single-device."""
+    from p2vit_tpu.parallel import pipeline as pp
+
+    policy, params, x, calib = calibrated
+    ss = serving.convert(params, calib.qstate, TINY, policy,
+                         [8] * TINY.num_matmuls)
+    x5 = x[:5]
+    single = np.asarray(
+        serving.serving_forward(ss, TINY, x5, use_pallas=True,
+                                interpret=True, fuse_layer=True)
+    )
+    m = pp.make_pipeline_mesh(2)
+    fn = pp.pp_serving_fn(ss, TINY, m, n_micro=2, interpret=True)
+    out = np.asarray(fn(x5))
+    assert out.shape == single.shape
+    np.testing.assert_array_equal(out, single)

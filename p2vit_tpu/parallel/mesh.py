@@ -121,7 +121,7 @@ def dp_serving_fn(inner, mesh: Mesh):
     should be placed with :func:`replicate` so GSPMD never resolves an
     ambiguous placement. This is the CLI's ``--dp N`` glue
     (test_quant.py), kept here so it is unit-testable without the CLI."""
-    n = int(np.prod(mesh.devices.shape))
+    n = int(mesh.shape["data"])  # pad to the DATA axis, not device count
 
     def fn(x, *args, **kwargs):
         b = x.shape[0]

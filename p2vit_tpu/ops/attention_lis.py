@@ -504,9 +504,11 @@ def _swin_head_loop(qkv, bias, mask_add, rq, s1, inv_s2, ro, *, n_valid,
             # softmax/LIS chain with one multiply, keeping every dot, every
             # requant and all DMA identical — the e2e slope difference vs
             # lis=True is the in-situ cost of the mandated LIS chain (the
-            # ViT kernel's probe, mirrored). The math is WRONG (no
-            # normalization); never a serving mode.
-            attn_pot = jnp.where(col < n_valid, attn2 / inv_s2, 0.0)
+            # ViT kernel's probe, mirrored). Scalar reciprocal hoisted so
+            # the probe really is one broadcast multiply, not a multi-pass
+            # VPU divide that would inflate the baseline. The math is WRONG
+            # (no normalization); never a serving mode.
+            attn_pot = jnp.where(col < n_valid, attn2 * (1.0 / inv_s2), 0.0)
         elif lis:
             attn_pot = _lis_from_scores(attn2, 1.0 / inv_s2, col, n_valid,
                                         lis_bits)

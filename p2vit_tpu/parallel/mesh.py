@@ -118,9 +118,15 @@ def dp_serving_fn(inner, mesh: Mesh):
     ``inner(x, *args, **kwargs) -> logits`` must be per-example math (the
     int8 serving pipelines are — tests/test_parallel.py pins bitwise
     equality to single-device); the converted serving state it closes over
-    should be placed with :func:`replicate` so GSPMD never resolves an
-    ambiguous placement. This is the CLI's ``--dp N`` glue
-    (test_quant.py), kept here so it is unit-testable without the CLI."""
+    should be placed with :func:`replicate`. This is the CLI's ``--dp N``
+    glue (test_quant.py), kept here so it is unit-testable without the CLI.
+
+    The shard runs inside ``shard_map`` — each device executes the WHOLE
+    serving program on its batch shard — rather than a GSPMD-sharded jit:
+    the Pallas kernels lower to opaque tpu_custom_calls the SPMD
+    partitioner cannot split, so sharded-jit would all-gather at the first
+    kernel (N× wasted compute) or fail to compile. Under shard_map the
+    kernels never see the mesh (the pipeline module's approach)."""
     n = int(mesh.shape["data"])  # pad to the DATA axis, not device count
 
     def fn(x, *args, **kwargs):
@@ -130,8 +136,15 @@ def dp_serving_fn(inner, mesh: Mesh):
             x = jnp.concatenate(
                 [x, jnp.broadcast_to(x[-1:], (pad,) + x.shape[1:])], axis=0
             )
+        run = jax.shard_map(
+            lambda xx: inner(xx, *args, **kwargs),
+            mesh=mesh,
+            in_specs=P("data"),
+            out_specs=P("data"),
+            check_vma=False,
+        )
         with mesh:
-            out = inner(shard_batch(mesh, x), *args, **kwargs)
+            out = run(shard_batch(mesh, x))
         return out[:b]
 
     return fn

@@ -37,7 +37,15 @@ from .. import serving
 def make_pipeline_mesh(n_stages: int) -> Mesh:
     import numpy as np
 
-    return Mesh(np.array(jax.devices()[:n_stages]), axis_names=("stage",))
+    devs = jax.devices()
+    if len(devs) < n_stages:
+        # never truncate silently: a 1-chip host would otherwise run a
+        # "1-stage pipeline" while the caller believes it asked for S
+        raise ValueError(
+            f"{n_stages}-stage pipeline needs {n_stages} devices; "
+            f"only {len(devs)} available"
+        )
+    return Mesh(np.array(devs[:n_stages]), axis_names=("stage",))
 
 
 @functools.partial(

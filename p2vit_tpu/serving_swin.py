@@ -318,8 +318,12 @@ def serving_forward(s, qstate, cfg: SwinConfig, policy: QuantPolicy, x,
         lis = bool(policy.int_softmax)
     elif lis == "bypass":
         # the probe only exists in the Pallas kernels' head loop; the XLA
-        # fallback would silently run the LIS chain and corrupt the probe
-        assert pallas_attn and use_pallas, "lis='bypass' needs pallas_attn"
+        # fallback would silently run the LIS chain and corrupt the probe.
+        # ValueError, not assert — asserts strip under python -O (the
+        # ops/attention_lis.py lis_bits guard precedent)
+        if not (pallas_attn and use_pallas):
+            raise ValueError("lis='bypass' needs the Pallas attention path "
+                             "(pallas_attn=True, use_pallas=True)")
     else:
         lis = bool(lis)
     b = x.shape[0]

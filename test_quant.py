@@ -284,7 +284,8 @@ def main():
         on_accel = jax.devices()[0].platform != "cpu"
         _sw_cache = {}
 
-        def _sw_state(key):
+        def _sw_fwd(key):
+            # convert/replicate OUTSIDE any shard_map trace, once per config
             if key not in _sw_cache:
                 s = serving_swin.convert(
                     params, calib.qstate, cfg, policy, list(key)
@@ -293,20 +294,16 @@ def main():
                     serving_swin.attach_u8_ingest(s, pp["mean"], pp["std"])
                 if dp_mesh is not None:
                     s = pmesh.replicate(s, dp_mesh)
-                _sw_cache[key] = s
+                fwd = lambda x, s=s: serving_swin.serving_forward(
+                    s, calib.qstate, cfg, policy, x, use_pallas=on_accel,
+                )
+                if dp_mesh is not None:
+                    fwd = pmesh.dp_serving_fn(fwd, dp_mesh)
+                _sw_cache[key] = fwd
             return _sw_cache[key]
 
-        def _sw_fwd(x, key):
-            return serving_swin.serving_forward(
-                _sw_state(key), calib.qstate, cfg, policy, x,
-                use_pallas=on_accel,
-            )
-
-        if dp_mesh is not None:
-            _sw_fwd = pmesh.dp_serving_fn(_sw_fwd, dp_mesh)
-
         def model_fn(x, bit_config):
-            return _sw_fwd(x, tuple(int(b) for b in bit_config))
+            return _sw_fwd(tuple(int(b) for b in bit_config))(x)
     elif args.quant and is_swin:
         # per-layer bit simulation (quant_forward_mixed serves uniform and
         # mixed configs with one executable — beyond the reference, whose
@@ -321,42 +318,36 @@ def main():
         on_accel = jax.devices()[0].platform != "cpu"
         _sstate_cache = {}
 
-        def _vit_state(key):
+        def _vit_fwd(key):
+            # convert/replicate/wrap OUTSIDE any shard_map trace, once per
+            # bit config
             if key not in _sstate_cache:
                 s = serving.convert(params, calib.qstate, cfg, policy,
                                     list(key))
                 if u8:
                     serving.attach_u8_ingest(s, pp["mean"], pp["std"])
-                if dp_mesh is not None:
-                    s = pmesh.replicate(s, dp_mesh)
-                _sstate_cache[key] = s
-            return _sstate_cache[key]
-
-        if pp_mesh is not None:
-            _pp_cache = {}
-
-            def _vit_fwd(x, key):
-                if key not in _pp_cache:
+                if pp_mesh is not None:
                     # the GPipe stage body is the fused-layer Pallas kernel
                     # (no jnp twin) — interpret it off-accelerator
-                    _pp_cache[key] = ppipe.pp_serving_fn(
-                        _vit_state(key), cfg, pp_mesh,
-                        n_micro=args.pp_micro, lis=policy.int_softmax,
-                        use_pallas=True, interpret=not on_accel,
+                    fwd = ppipe.pp_serving_fn(
+                        s, cfg, pp_mesh, n_micro=args.pp_micro,
+                        lis=policy.int_softmax, use_pallas=True,
+                        interpret=not on_accel,
                     )
-                return _pp_cache[key](x)
-        else:
-            def _vit_fwd(x, key):
-                return serving.serving_forward(
-                    _vit_state(key), cfg, x, use_pallas=on_accel,
-                    lis=policy.int_softmax,
-                )
-
-            if dp_mesh is not None:
-                _vit_fwd = pmesh.dp_serving_fn(_vit_fwd, dp_mesh)
+                else:
+                    if dp_mesh is not None:
+                        s = pmesh.replicate(s, dp_mesh)
+                    fwd = lambda x, s=s: serving.serving_forward(
+                        s, cfg, x, use_pallas=on_accel,
+                        lis=policy.int_softmax,
+                    )
+                    if dp_mesh is not None:
+                        fwd = pmesh.dp_serving_fn(fwd, dp_mesh)
+                _sstate_cache[key] = fwd
+            return _sstate_cache[key]
 
         def model_fn(x, bit_config):
-            return _vit_fwd(x, tuple(int(b) for b in bit_config))
+            return _vit_fwd(tuple(int(b) for b in bit_config))(x)
     elif args.quant:
         fwd = jax.jit(
             lambda p, q, x, bi: vit.quant_forward(p, q, cfg, policy, x, bi)

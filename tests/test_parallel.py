@@ -208,6 +208,16 @@ def test_dp_serving_fn_pads_and_trims(calibrated):
     assert out.shape == single.shape
     np.testing.assert_array_equal(out, single)
 
+    # the PALLAS serving program must run unchanged inside the shard_map
+    # shard — the kernels lower to custom calls GSPMD cannot partition, so
+    # dp_serving_fn deliberately never exposes them to the mesh partitioner
+    fn_pal = pmesh.dp_serving_fn(
+        lambda xx: serving.serving_forward(rstate, TINY, xx,
+                                           use_pallas=True, interpret=True),
+        m,
+    )
+    np.testing.assert_array_equal(np.asarray(fn_pal(x6)), single)
+
 
 def test_pp_serving_fn_pads_and_trims(calibrated):
     """pp_serving_fn (the CLI --pp glue): an UNEVEN batch (x[:5] with

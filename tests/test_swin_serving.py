@@ -325,6 +325,6 @@ def test_swin_lis_bypass_probe_runs(setup):
             interpret=True, lis="bypass", fold_windows=fold))
         assert out.shape == (x.shape[0], TINY.num_classes)
         assert np.isfinite(out).all()
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValueError, match="bypass"):
         serving_swin.serving_forward(ss, calib.qstate, TINY, policy, x,
                                      use_pallas=False, lis="bypass")

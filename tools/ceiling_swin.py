@@ -93,31 +93,50 @@ def sweep(model: str):
 
     d_full = cfg0.depths[2]
     depths = tuple(sorted({2, d_full // 2 + (d_full // 2) % 2, d_full}))
+    # build each depth's calibrated+converted state ONCE (calibrate/convert
+    # don't depend on the timing mode; every mode must time the exact same
+    # state anyway)
+    states = {}
+    for d in depths:
+        cfg = dataclasses.replace(
+            cfg0, depths=cfg0.depths[:2] + (d,) + cfg0.depths[3:])
+        params = swin_mod.init_params(jax.random.PRNGKey(0), cfg)
+        calib = swin_mod.calibrate(params, cfg, policy, x[:8])
+        ss = serving_swin.convert(params, calib.qstate, cfg, policy, 8)
+        states[d] = (cfg, ss, calib.qstate)
+
+    # reorder="bypass" isolates the per-block window partition/reverse/roll
+    # copies the same way lis="bypass" isolates the LIS chain — attackable
+    # glue (fold_windows), NOT part of the mandated ceiling, but itemized so
+    # the residual is explained rather than silently absorbing a known cost
+    MODES = (("lis_on", {"lis": True}), ("lis_bypass", {"lis": "bypass"}),
+             ("lis_off", {"lis": False}),
+             ("reorder_bypass", {"lis": True, "reorder": "bypass"}))
     e2e = {}
-    for lis in (True, "bypass", False):
+    for name, kw in MODES:
         times = []
         for d in depths:
-            cfg = dataclasses.replace(
-                cfg0, depths=cfg0.depths[:2] + (d,) + cfg0.depths[3:])
-            params = swin_mod.init_params(jax.random.PRNGKey(0), cfg)
-            calib = swin_mod.calibrate(params, cfg, policy, x[:8])
-            ss = serving_swin.convert(params, calib.qstate, cfg, policy, 8)
-            ms = _t(lambda xx, s, q, cfg=cfg, lis=lis:
+            cfg, ss, qstate = states[d]
+            ms = _t(lambda xx, s, q, cfg=cfg, kw=kw:
                     serving_swin.serving_forward(
                         s, q, cfg, policy, xx, use_pallas=True,
-                        pallas_attn=True, lis=lis),
-                    x, ss, calib.qstate)
+                        pallas_attn=True, **kw),
+                    x, ss, qstate)
             times.append(ms)
-            print(f"  lis={lis!s:6s} d2={d:2d}  {ms:8.3f} ms")
+            print(f"  {name:14s} d2={d:2d}  {ms:8.3f} ms")
         slope, icept = np.polyfit(depths, times, 1)
-        e2e[lis] = (slope, icept, times)
-        print(f"  lis={lis!s:6s}: per-layer {slope:.3f} ms, "
+        e2e[name] = (slope, icept, times)
+        print(f"  {name:14s}: per-layer {slope:.3f} ms, "
               f"other-stages+stem+merges+head {icept:.3f} ms")
-    r["layer_ms"] = round(e2e[True][0], 4)
-    r["intercept_ms"] = round(e2e[True][1], 4)
-    r["e2e_ms"] = round(e2e[True][2][-1], 3) if depths[-1] == d_full else None
-    r["lis_chain_ms"] = round(e2e[True][0] - e2e["bypass"][0], 4)
-    r["fp_softmax_chain_ms"] = round(e2e[False][0] - e2e["bypass"][0], 4)
+    r["layer_ms"] = round(e2e["lis_on"][0], 4)
+    r["intercept_ms"] = round(e2e["lis_on"][1], 4)
+    r["e2e_ms"] = (round(e2e["lis_on"][2][-1], 3)
+                   if depths[-1] == d_full else None)
+    r["lis_chain_ms"] = round(e2e["lis_on"][0] - e2e["lis_bypass"][0], 4)
+    r["fp_softmax_chain_ms"] = round(
+        e2e["lis_off"][0] - e2e["lis_bypass"][0], 4)
+    r["reorder_chain_ms"] = round(
+        e2e["lis_on"][0] - e2e["reorder_bypass"][0], 4)
 
     # --- differential/standalone chain probes at stage-2 shapes
     from p2vit_tpu.ops.matmul_int8 import int8_matmul_requant
@@ -181,7 +200,11 @@ def sweep(model: str):
                      + r["requant_ms"])
     r["layer_ceiling_ms"] = round(layer_ceiling, 4)
     r["layer_gap_ms"] = round(r["layer_ms"] - layer_ceiling, 4)
-    ceiling = d_full * layer_ceiling + e2e[True][1]
+    # the reorder copies are attackable glue (fold_windows), so they stay
+    # OUT of the mandated ceiling but explain part of the gap
+    r["layer_gap_unexplained_ms"] = round(
+        r["layer_gap_ms"] - r["reorder_chain_ms"], 4)
+    ceiling = d_full * layer_ceiling + e2e["lis_on"][1]
     r["ceiling_ms"] = round(ceiling, 3)
     r["ceiling_img_s"] = round(B / ceiling * 1e3, 1)
     if r["e2e_ms"]:
@@ -191,7 +214,9 @@ def sweep(model: str):
           f"{r['mxu_ms']:.3f} + lis {r['lis_chain_ms']:.3f} + gelu "
           f"{r['gelu_chain_ms']:.3f} + resln_mlp {r['resln_mlp_ms']:.3f} "
           f"+ resln_attn<= {r['resln_attn_standalone_ms']:.3f} + requant "
-          f"{r['requant_ms']:.3f} + RESIDUAL {r['layer_gap_ms']:.3f}")
+          f"{r['requant_ms']:.3f} + RESIDUAL {r['layer_gap_ms']:.3f} "
+          f"(reorder glue {r['reorder_chain_ms']:.3f} + unexplained "
+          f"{r['layer_gap_unexplained_ms']:.3f})")
     print(f"  STAGE-2 CEILING {ceiling:.3f} ms ({r['ceiling_img_s']:.0f} "
           f"img/s)  MEASURED {r['e2e_ms']} ms ({r.get('e2e_img_s')} img/s)  "
           f"gap {r.get('gap_pct')}% (intercept NOT dissected — see module "

@@ -238,3 +238,13 @@ def test_pp_serving_fn_pads_and_trims(calibrated):
     out = np.asarray(fn(x5))
     assert out.shape == single.shape
     np.testing.assert_array_equal(out, single)
+
+
+def test_make_pipeline_mesh_requires_devices():
+    """make_pipeline_mesh must fail loudly when fewer devices exist than
+    stages requested — silent truncation ran a '1-stage pipeline' on
+    single-chip hosts while the caller believed it asked for S."""
+    from p2vit_tpu.parallel import pipeline as pp
+
+    with pytest.raises(ValueError, match="devices"):
+        pp.make_pipeline_mesh(len(jax.devices()) + 1)

@@ -612,6 +612,12 @@ def quant_forward_mixed(params, qstate, cfg: SwinConfig, policy: QuantPolicy,
 
     # input fake-quant (swin_quant.py:884-886: qact_input ahead of the
     # patch embed — every constructor passes input_quant=True)
+    if "qact_input" not in qstate:
+        raise KeyError(
+            "qstate has no 'qact_input': pre-input-quant Swin quant state "
+            "(saved before the input fake-quant node landed). Recalibrate "
+            "and re-save (see serving_swin.convert for the full story)."
+        )
     x = _fq(x, qstate["qact_input"])
     patches = _patches(x, cfg.patch_size)
     x = linear(patches, fqw(params["patch_embed"]["w"], qstate["patch_wscale"]),

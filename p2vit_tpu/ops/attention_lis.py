@@ -718,7 +718,13 @@ def swin_lis_attention_folded(
     """
     b, res, res2, c3 = qkv_r.shape
     ws = window
-    assert res == res2 and res % ws == 0 and res > ws, (res, ws)
+    # ValueError, not assert: these strip under python -O (same reason as
+    # the lis_bits guard and the serving bypass guards).
+    if not (res == res2 and res % ws == 0 and res > ws):
+        raise ValueError(
+            f"folded layout needs a square grid of >1 whole windows: "
+            f"res={res}x{res2}, window={ws}"
+        )
     c = c3 // 3
     d = c // num_heads
     g = res // ws  # windows per row-strip (= nwx = nwy)
@@ -735,7 +741,11 @@ def swin_lis_attention_folded(
     bfull = b + bpad
     bias_p = jnp.pad(bias, ((0, 0), (0, npad), (0, npad))) if npad else bias
     if has_mask:
-        assert mask.shape == (g * g, n, n), (mask.shape, g, n)
+        if mask.shape != (g * g, n, n):
+            raise ValueError(
+                f"mask shape {mask.shape} != expected {(g * g, n, n)} "
+                f"(one (n,n) mask per window of the {g}x{g} grid)"
+            )
         mask_p = (
             jnp.pad(mask, ((0, 0), (0, npad), (0, npad))) if npad else mask
         ).astype(jnp.float32)

@@ -594,6 +594,14 @@ def serving_forward(s, cfg: ViTConfig, x, interpret: bool = False,
     the unrolled loop. Default: on for depth > 12 (compile-time win),
     unrolled otherwise.
     """
+    if lis == "bypass" and not use_pallas:
+        # The timing-only probe (tools/ceiling_bench.py) exists only in the
+        # Pallas kernels' head loop; the XLA fallback (lis_attention_ref /
+        # heads_attention reference path) would treat the truthy string as
+        # lis=True and silently run the full LIS chain while claiming to be
+        # the bypass baseline. ValueError, not assert — asserts strip under
+        # python -O (same precedent as serving_swin.py's bypass guard).
+        raise ValueError("lis='bypass' needs the Pallas path (use_pallas=True)")
     if scan_layers is None:
         scan_layers = len(s["blocks"]) > 12
     mm = int8_matmul_requant if use_pallas else int8_matmul_requant_ref

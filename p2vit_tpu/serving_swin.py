@@ -84,6 +84,17 @@ def convert(params, qstate, cfg: SwinConfig, policy: QuantPolicy, bit_config=8):
     [downsample] + [head]) — the layout of swin.quant_forward_mixed and the
     mixed-precision search."""
     assert policy.int_norm, "Swin serving requires the PTF integer-LN pipeline"
+    if "qact_input" not in qstate:
+        # Quant states saved before the input fake-quant landed (the
+        # reference's input_quant=True, swin_quant.py:884-886) lack this
+        # node entirely — and also lack its effect on every downstream
+        # scale, so patching a default in would be silently wrong.
+        raise KeyError(
+            "qstate has no 'qact_input': this is a pre-input-quant Swin "
+            "quant state (saved before the input fake-quant node landed). "
+            "Recalibrate and re-save — the old state also lacks the "
+            "reference's input fake-quant semantics (swin_quant.py:884-886)."
+        )
     if isinstance(bit_config, int):
         bits = [bit_config] * cfg.num_matmuls
     else:

@@ -76,3 +76,59 @@ def test_invalid_bit_width_raises():
 
     with pytest.raises(ValueError, match="unsupported bit widths"):
         vit.bits_to_idx([4, 8, 6, 4])
+
+
+def test_serving_bypass_requires_pallas():
+    """lis='bypass' on the XLA fallback must raise, not silently run LIS
+    (the probe only exists in the Pallas kernels' head loop)."""
+    from p2vit_tpu import serving
+    from p2vit_tpu.models.common import ViTConfig
+
+    cfg = ViTConfig(embed_dim=64, depth=1, num_heads=2)
+    x = jnp.zeros((1, 224, 224, 3), jnp.float32)
+    with pytest.raises(ValueError, match="bypass"):
+        serving.serving_forward({}, cfg, x, use_pallas=False, lis="bypass")
+
+
+def test_swin_convert_pre_input_quant_state_raises():
+    """Quant states saved before qact_input landed get a clear recalibrate
+    message, not a bare KeyError('qact_input')."""
+    from p2vit_tpu import serving_swin
+    from p2vit_tpu.config import make_policy
+    from p2vit_tpu.models.swin import SwinConfig
+
+    policy = make_policy()
+    cfg = SwinConfig()
+    with pytest.raises(KeyError, match="[Rr]ecalibrate"):
+        serving_swin.convert({}, {}, cfg, policy)
+
+
+def test_swin_quant_forward_pre_input_quant_state_raises():
+    from p2vit_tpu.models import swin
+
+    cfg = swin.SwinConfig()
+    from p2vit_tpu.config import make_policy
+
+    x = jnp.zeros((1, 224, 224, 3), jnp.float32)
+    bit_idx = jnp.zeros((cfg.num_matmuls,), jnp.int32)
+    with pytest.raises(KeyError, match="[Rr]ecalibrate"):
+        swin.quant_forward_mixed({}, {}, cfg, make_policy(), x, bit_idx)
+
+
+def test_swin_folded_shape_guards_are_valueerrors():
+    """The folded-layout preconditions survive python -O: ValueError, not
+    assert (ADVICE r3)."""
+    from p2vit_tpu.ops.attention_lis import swin_lis_attention_folded
+
+    # non-square grid
+    qkv = jnp.zeros((1, 14, 7, 3 * 32), jnp.int8)
+    bias = jnp.zeros((2, 49, 49), jnp.float32)
+    with pytest.raises(ValueError, match="square grid"):
+        swin_lis_attention_folded(qkv, bias, None, 2, 7, 1.0, 2.0**-4, 1.0, 1.0)
+    # bad mask shape
+    qkv = jnp.zeros((1, 14, 14, 3 * 32), jnp.int8)
+    bad_mask = jnp.zeros((3, 49, 49), jnp.float32)
+    with pytest.raises(ValueError, match="mask shape"):
+        swin_lis_attention_folded(
+            qkv, bias, bad_mask, 2, 7, 1.0, 2.0**-4, 1.0, 1.0
+        )

@@ -20,6 +20,7 @@ re-calibrates (SURVEY §5).
 from __future__ import annotations
 
 import io
+import math
 import os
 import pickle
 
@@ -27,6 +28,106 @@ import numpy as np
 import jax.numpy as jnp
 
 from .models.common import ViTConfig
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint-shape adaptation (reference models/utils.py:51-97)
+# ---------------------------------------------------------------------------
+
+
+def _cubic_kernel(x: np.ndarray) -> np.ndarray:
+    """Cubic convolution kernel with A=-0.75 — the kernel torch's
+    F.interpolate(mode='bicubic') uses (NOT jax.image.resize's Keys a=-0.5;
+    using that would silently diverge from the reference's resized grids)."""
+    A = -0.75
+    x = np.abs(x)
+    return np.where(
+        x <= 1.0,
+        ((A + 2.0) * x - (A + 3.0)) * x * x + 1.0,
+        np.where(x < 2.0, ((A * x - 5.0 * A) * x + 8.0 * A) * x - 4.0 * A, 0.0),
+    )
+
+
+def _bicubic_matrix(dst: int, src: int) -> np.ndarray:
+    """(dst, src) row-stochastic-by-construction resampling matrix matching
+    torch bicubic, align_corners=False: half-pixel centers, 4 taps around
+    floor(center), border-clamped tap indices, no weight renormalization."""
+    scale = src / dst
+    centers = (np.arange(dst, dtype=np.float64) + 0.5) * scale - 0.5
+    i0 = np.floor(centers).astype(np.int64)
+    frac = centers - i0
+    mat = np.zeros((dst, src), dtype=np.float64)
+    for t in range(-1, 3):
+        w = _cubic_kernel(frac - t)  # distance from center to tap i0+t
+        idx = np.clip(i0 + t, 0, src - 1)
+        np.add.at(mat, (np.arange(dst), idx), w)
+    return mat
+
+
+def resize_pos_embed(posemb: np.ndarray, gs_new, num_tokens: int = 1) -> np.ndarray:
+    """Bicubically resample a (1, ntok_old, C) position embedding onto a new
+    grid, keeping the first ``num_tokens`` special tokens (cls) untouched —
+    parity with the reference's resize_pos_embed
+    (/root/reference/models/utils.py:76-97, torch F.interpolate bicubic,
+    align_corners=False), pinned against torch in
+    tests/test_pipeline.py::test_resize_pos_embed_matches_torch."""
+    posemb = np.asarray(posemb, dtype=np.float32)
+    gs_new = (int(gs_new[0]), int(gs_new[1])) if not isinstance(gs_new, int) \
+        else (int(gs_new), int(gs_new))
+    tok, grid = posemb[:, :num_tokens], posemb[0, num_tokens:]
+    gs_old = int(round(math.sqrt(grid.shape[0])))
+    if gs_old * gs_old != grid.shape[0]:
+        raise ValueError(f"pos_embed grid of {grid.shape[0]} tokens is not square")
+    c = grid.shape[-1]
+    grid = grid.reshape(gs_old, gs_old, c).astype(np.float64)
+    wy = _bicubic_matrix(gs_new[0], gs_old)
+    wx = _bicubic_matrix(gs_new[1], gs_old)
+    out = np.einsum("yi,ijc->yjc", wy, grid)
+    out = np.einsum("xj,yjc->yxc", wx, out)
+    out = out.reshape(1, gs_new[0] * gs_new[1], c).astype(np.float32)
+    return np.concatenate([tok, out], axis=1)
+
+
+def adapt_input_conv(in_chans: int, conv_weight: np.ndarray) -> np.ndarray:
+    """Adapt a pretrained (O, I, kh, kw) patch-conv kernel to ``in_chans``
+    input channels — parity with the reference's adapt_input_conv
+    (/root/reference/models/utils.py:51-75): grayscale sums the RGB taps
+    (linearity of the conv makes this exact for gray inputs); other channel
+    counts tile the RGB kernel and rescale by 3/in_chans to preserve the
+    expected response magnitude."""
+    conv_weight = np.asarray(conv_weight, dtype=np.float32)
+    o, i, kh, kw = conv_weight.shape
+    if in_chans == i:
+        return conv_weight
+    if in_chans == 1:
+        if i > 3:
+            if i % 3 != 0:
+                raise ValueError(f"cannot reduce {i}-channel kernel to grayscale")
+            conv_weight = conv_weight.reshape(o, i // 3, 3, kh, kw).sum(axis=2)
+        else:
+            conv_weight = conv_weight.sum(axis=1, keepdims=True)
+    else:
+        if i != 3:
+            raise NotImplementedError(
+                f"no conversion from {i}-channel kernel to in_chans={in_chans}"
+            )
+        repeat = int(math.ceil(in_chans / 3))
+        conv_weight = np.tile(conv_weight, (1, repeat, 1, 1))[:, :in_chans]
+        conv_weight = conv_weight * (3.0 / float(in_chans))
+    return conv_weight
+
+
+def _fit_vit_inputs(conv_oihw: np.ndarray, pos: np.ndarray, cfg: ViTConfig):
+    """Shared shape-adaptation step for both ViT ingestion paths: adapt the
+    patch conv to cfg.in_chans and the position embedding to cfg's grid.
+    The reference only wires these into the npz loader (its .pth loads
+    crash on mismatched shapes); applying them uniformly is the documented
+    divergence."""
+    conv_oihw = adapt_input_conv(cfg.in_chans, conv_oihw)
+    pos = np.asarray(pos)
+    if pos.shape[1] != cfg.seq_len:
+        pos = resize_pos_embed(pos, (cfg.grid, cfg.grid), num_tokens=1)
+    return conv_oihw, pos
 
 # torch-hub filenames for the 8 zoo entries (vit_fquant.py:960-1073;
 # swin_quant.py:934-994)
@@ -71,13 +172,17 @@ def from_torch_state_dict(sd: dict, cfg: ViTConfig) -> dict:
     def g(k):
         return jnp.asarray(sd[k])
 
+    conv, pos = _fit_vit_inputs(
+        np.asarray(sd["patch_embed.proj.weight"]), np.asarray(sd["pos_embed"]),
+        cfg,
+    )
     params = {
         "cls_token": g("cls_token"),
-        "pos_embed": g("pos_embed"),
+        "pos_embed": jnp.asarray(pos),
         "patch_embed": {
-            # (C,3,p,p) conv kernel folds to (C, 3*p*p) with the same
+            # (C,in,p,p) conv kernel folds to (C, in*p*p) with the same
             # c*(p*p)+i*p+j ordering extract_patches produces
-            "w": g("patch_embed.proj.weight").reshape(cfg.embed_dim, -1),
+            "w": jnp.asarray(conv.reshape(cfg.embed_dim, -1)),
             "b": g("patch_embed.proj.bias"),
         },
         "blocks": [],
@@ -116,8 +221,13 @@ def from_augreg_npz(npz, cfg: ViTConfig) -> dict:
         return jnp.asarray(g(k + "/kernel").T), jnp.asarray(g(k + "/bias"))
 
     kern = g("embedding/kernel")  # (p, p, 3, C)
-    patch_w = jnp.asarray(kern.transpose(3, 2, 0, 1).reshape(c, -1))
-    pos = g("Transformer/posembed_input/pos_embedding")
+    # HWIO -> OIHW, then in_chans/pos-grid adaptation (the reference wires
+    # both into exactly this loader: models/utils.py:145-159)
+    conv, pos = _fit_vit_inputs(
+        kern.transpose(3, 2, 0, 1),
+        g("Transformer/posembed_input/pos_embedding"), cfg,
+    )
+    patch_w = jnp.asarray(conv.reshape(c, -1))
     params = {
         "cls_token": jnp.asarray(g("cls")),
         "pos_embed": jnp.asarray(pos),

@@ -343,3 +343,87 @@ def test_hessian_eigenvalues_and_density():
         # Lanczos converges the spectrum extremes first
         assert max(ns) <= by_abs[0] * 1.02 + 1e-6
         assert abs(max(ns) - float(evals.max())) / float(evals.max()) < 0.05
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint-shape adaptation (reference models/utils.py:51-97)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("gs_old,gs_new", [(14, 24), (14, 7), (4, 6)])
+def test_resize_pos_embed_matches_torch(gs_old, gs_new):
+    """Our numpy bicubic == torch F.interpolate(mode='bicubic',
+    align_corners=False) — the exact op the reference uses
+    (models/utils.py:90-93)."""
+    import torch
+    import torch.nn.functional as F
+
+    rng = np.random.RandomState(0)
+    c = 24
+    pos = rng.randn(1, 1 + gs_old * gs_old, c).astype(np.float32)
+    ours = checkpoints.resize_pos_embed(pos, (gs_new, gs_new), num_tokens=1)
+    grid = torch.from_numpy(
+        pos[0, 1:].reshape(1, gs_old, gs_old, c)
+    ).permute(0, 3, 1, 2)
+    want = F.interpolate(grid, size=(gs_new, gs_new), mode="bicubic",
+                         align_corners=False)
+    want = want.permute(0, 2, 3, 1).reshape(1, gs_new * gs_new, c).numpy()
+    assert ours.shape == (1, 1 + gs_new * gs_new, c)
+    np.testing.assert_array_equal(ours[:, :1], pos[:, :1])  # cls untouched
+    np.testing.assert_allclose(ours[:, 1:], want, atol=2e-5, rtol=1e-5)
+
+
+def test_adapt_input_conv_semantics():
+    """Grayscale sums RGB taps; in_chans=6 tiles and rescales by 3/6;
+    in_chans==I is the identity (models/utils.py:51-75)."""
+    rng = np.random.RandomState(1)
+    w = rng.randn(8, 3, 4, 4).astype(np.float32)
+    np.testing.assert_array_equal(checkpoints.adapt_input_conv(3, w), w)
+    g = checkpoints.adapt_input_conv(1, w)
+    np.testing.assert_allclose(g, w.sum(axis=1, keepdims=True), rtol=1e-6)
+    six = checkpoints.adapt_input_conv(6, w)
+    assert six.shape == (8, 6, 4, 4)
+    np.testing.assert_allclose(six[:, :3], w * 0.5, rtol=1e-6)
+    np.testing.assert_allclose(six[:, 3:], w * 0.5, rtol=1e-6)
+    two = checkpoints.adapt_input_conv(2, w)
+    np.testing.assert_allclose(two, w[:, :2] * 1.5, rtol=1e-6)
+    with pytest.raises(NotImplementedError):
+        checkpoints.adapt_input_conv(5, rng.randn(8, 4, 4, 4).astype(np.float32))
+
+
+def test_loader_resizes_mismatched_grid(tiny_model):
+    """Loading a 4x4-grid checkpoint into a 6x6-grid config resizes the
+    pos embedding bicubically (reference invokes resize_pos_embed at
+    models/utils.py:152-159) and the model runs."""
+    params, _ = tiny_model
+    sd = {
+        "cls_token": np.asarray(params["cls_token"]),
+        "pos_embed": np.asarray(params["pos_embed"]),  # (1, 17, 16): 4x4 grid
+        "patch_embed.proj.weight": np.asarray(
+            params["patch_embed"]["w"]
+        ).reshape(TINY.embed_dim, 3, 8, 8),
+        "patch_embed.proj.bias": np.asarray(params["patch_embed"]["b"]),
+        "norm.weight": np.asarray(params["norm"]["w"]),
+        "norm.bias": np.asarray(params["norm"]["b"]),
+        "head.weight": np.asarray(params["head"]["w"]),
+        "head.bias": np.asarray(params["head"]["b"]),
+    }
+    names = {"norm1": "norm1", "qkv": "attn.qkv", "proj": "attn.proj",
+             "norm2": "norm2", "fc1": "mlp.fc1", "fc2": "mlp.fc2"}
+    for i, blk in enumerate(params["blocks"]):
+        for ours, theirs in names.items():
+            sd[f"blocks.{i}.{theirs}.weight"] = np.asarray(blk[ours]["w"])
+            sd[f"blocks.{i}.{theirs}.bias"] = np.asarray(blk[ours]["b"])
+    big = ViTConfig(img_size=48, patch_size=8, num_classes=10, embed_dim=16,
+                    depth=2, num_heads=2)
+    re = checkpoints.from_torch_state_dict(sd, big)
+    assert re["pos_embed"].shape == (1, big.seq_len, 16)
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 3, 48, 48))
+    logits = vit.fp_forward(re, big, x)
+    assert logits.shape == (2, 10)
+    assert np.isfinite(np.asarray(logits)).all()
+    # exact-shape load stays bit-identical (the resize path is a no-op)
+    same = checkpoints.from_torch_state_dict(sd, TINY)
+    np.testing.assert_array_equal(
+        np.asarray(same["pos_embed"]), sd["pos_embed"]
+    )

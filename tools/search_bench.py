@@ -1,0 +1,135 @@
+"""End-to-end mixed-precision search wall-time on chip (VERDICT r3 item 6).
+
+The zero-recompile claim (DESIGN §2: quant_forward takes the bit vector as
+a TRACED argument, so one compiled executable serves every candidate) was
+verified functionally on CPU tiny models; this times the real thing: the
+reference's blessed --mixed model (deit_base, /root/reference/test.sh:9) at
+full size, synthetic val set, Hessian-guided Pareto top-5 + the bounded
+evolutionary run — and proves zero recompiles at scale by reading the jit
+cache size after the last candidate.
+
+The reference's cost profile is ~(5 + 25 + 8×20) = ~193 FULL ImageNet-val
+passes (SURVEY §3.2); we report candidates/sec on the synthetic val set and
+the per-image sim throughput, which extrapolate to any val-set size.
+
+Usage: python tools/search_bench.py [model] [--val-batches N] [--batch B]
+(defaults: deit_base_patch16_224, 2 batches of 128). Repo root, real chip.
+"""
+
+from __future__ import annotations
+
+import random
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+import jax.numpy as jnp
+import numpy as np
+
+from p2vit_tpu import search
+from p2vit_tpu.config import make_policy
+from p2vit_tpu.hessian_tables import MEAN_HESSIAN
+from p2vit_tpu.models import VIT_ZOO, vit
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    model = args[0] if args else "deit_base_patch16_224"
+
+    def opt(name, default):
+        if name in sys.argv:
+            return int(sys.argv[sys.argv.index(name) + 1])
+        return default
+
+    n_batches = opt("--val-batches", 2)
+    batch = opt("--batch", 128)
+    cfg = VIT_ZOO[model]
+    policy = make_policy()
+    print(f"== search_bench {model} platform={jax.devices()[0].platform} "
+          f"val={n_batches}x{batch}")
+
+    params = vit.init_params(jax.random.PRNGKey(0), cfg)
+    xc = jax.random.normal(jax.random.PRNGKey(7), (100, 3, 224, 224))
+
+    t0 = time.perf_counter()
+    calib = vit.calibrate(params, cfg, policy, xc)
+    jax.block_until_ready(jax.tree_util.tree_leaves(calib.qstate)[0])
+    t_calib = time.perf_counter() - t0
+    print(f"  calibration (100 img, jitted solve): {t_calib:.2f} s wall")
+
+    # synthetic val set: random images, labels = the FP model's argmax so
+    # the search has a real signal to rank configs by
+    fp = jax.jit(lambda p, x: vit.fp_forward(p, cfg, x))
+    xs, ys = [], []
+    for i in range(n_batches):
+        x = jax.random.normal(jax.random.PRNGKey(100 + i),
+                              (batch, 3, 224, 224))
+        xs.append(x)
+        ys.append(np.asarray(jnp.argmax(fp(params, x), axis=-1)))
+
+    fwd = jax.jit(
+        lambda p, q, x, bi: vit.quant_forward(p, q, cfg, policy, x, bi)
+    )
+    times = []
+
+    def validate_fn(bit_config):
+        t0 = time.perf_counter()
+        bi = vit.bits_to_idx(bit_config)
+        correct = total = 0
+        for x, y in zip(xs, ys):
+            pred = np.asarray(jnp.argmax(fwd(params, calib.qstate, x, bi),
+                                         axis=-1))
+            correct += int((pred == y).sum())
+            total += len(y)
+        times.append(time.perf_counter() - t0)
+        return 100.0 * correct / total
+
+    rng = random.Random(0)
+    mean_hessian = MEAN_HESSIAN[model]
+    t0 = time.perf_counter()
+    front = search.pareto_front(calib.flops, calib.global_distance,
+                                mean_hessian, rng)
+    t_pareto = time.perf_counter() - t0
+    print(f"  Pareto sampling+Omega ranking ({len(front)} configs): "
+          f"{t_pareto:.3f} s (pure host)")
+
+    top5 = [(c, validate_fn(c)) for c, _ in front[:5]]
+    print(f"  top-5 Pareto validated: best {max(a for _, a in top5):.2f}% "
+          f"(first candidate incl. compile: {times[0]:.2f} s)")
+
+    t0 = time.perf_counter()
+    result = search.evolutionary_search(
+        validate_fn, [c for c, _ in front], calib.flops, rng,
+        pop_size=25, evo_iter=8,
+    )
+    t_evo = time.perf_counter() - t0
+    n_val = len(times)
+    steady = times[1:]
+    cache = fwd._cache_size() if hasattr(fwd, "_cache_size") else None
+    print(f"  evolutionary search (8 gens): {t_evo:.1f} s, "
+          f"{n_val} total validations")
+    print(f"  per-candidate: first {times[0]:.2f} s (compile), steady "
+          f"median {np.median(steady):.3f} s / max {max(steady):.3f} s "
+          f"-> {1 / np.median(steady):.2f} candidates/s at "
+          f"{n_batches * batch} imgs each")
+    print(f"  sim throughput inside search: "
+          f"{n_batches * batch / np.median(steady):.0f} img/s")
+    print(f"  jit cache size after {n_val} configs: {cache} "
+          f"(zero-recompile claim holds iff 1)")
+    # t_evo already contains its validations' wall time
+    wall = t_calib + t_pareto + sum(times[:5]) + t_evo
+    print(f"  END-TO-END --mixed wall (calib + Pareto + top-5 + evolution): "
+          f"{wall:.1f} s")
+    best = result[0]
+    print(f"  best config acc {best[1]:.2f}%  bits[:12]={best[0][:12]}")
+    if cache is not None and cache != 1:
+        print("  WARNING: >1 compiled executables — recompiles happened!")
+
+
+if __name__ == "__main__":
+    main()

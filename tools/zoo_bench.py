@@ -1,0 +1,92 @@
+"""Zoo-complete closing bench: vs-own-bf16 ratios for ALL 8 models.
+
+VERDICT r3 item 5: the closing bench covered 5 of 8 zoo models; vit_base,
+swin_small, swin_base had parity smoke only. One table, 8 models, img/s +
+ratio each (each model vs ITS OWN bf16 XLA forward — the int8 advantage is
+architecture-dependent, see bench.py docstring).
+
+Reuses bench.py's _bench_vit for the ViT/DeiT family; Swin goes through
+calibrate → convert → serving_swin with per-model batch sizes bounded by
+HBM at the bigger geometries.
+
+Usage: python tools/zoo_bench.py [model ...]   (default: all 8)
+Repo root, real chip.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+sys.path.insert(0, ".")
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+import jax.numpy as jnp
+
+from bench import _bench_vit, _time_fn
+from p2vit_tpu.config import make_policy
+from p2vit_tpu.models import SWIN_ZOO, VIT_ZOO
+from p2vit_tpu.models import swin as swin_mod
+from p2vit_tpu import serving_swin
+
+VIT_BATCH = {"deit_tiny_patch16_224": 256, "deit_small_patch16_224": 256,
+             "deit_base_patch16_224": 128, "vit_base_patch16_224": 128,
+             "vit_large_patch16_224": 64}
+SWIN_BATCH = {"swin_tiny_patch4_window7_224": 64,
+              "swin_small_patch4_window7_224": 64,
+              "swin_base_patch4_window7_224": 32}
+
+
+def bench_swin(name, batch, policy, on_accel):
+    cfg = SWIN_ZOO[name]
+    params = swin_mod.init_params(jax.random.PRNGKey(2), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(3), (batch, 3, 224, 224),
+                          jnp.float32)
+    calib = swin_mod.calibrate(params, cfg, policy, x[:8])
+    ss = serving_swin.convert(params, calib.qstate, cfg, policy, 8)
+    params_bf16 = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
+    t_fp = _time_fn(
+        jax.jit(lambda xx: swin_mod.fp_forward(params_bf16, cfg,
+                                               xx.astype(jnp.bfloat16))), x)
+    out = {"bf16_img_s": round(batch / t_fp, 2)}
+    for key, lis in (("lis_on", True), ("lis_off", False)):
+        t = _time_fn(
+            jax.jit(lambda xx, lis=lis: serving_swin.serving_forward(
+                ss, calib.qstate, cfg, policy, xx, use_pallas=on_accel,
+                lis=lis)), x)
+        out[f"{key}_img_s"] = round(batch / t, 2)
+        out[f"{key}_vs_baseline"] = round(t_fp / t, 4)
+    out["batch"] = batch
+    return out
+
+
+def main():
+    names = sys.argv[1:] or (list(VIT_ZOO) + list(SWIN_ZOO))
+    policy = make_policy()
+    on_accel = jax.devices()[0].platform != "cpu"
+    print(f"== zoo_bench platform={jax.devices()[0].platform}")
+    res = {}
+    for name in names:
+        try:
+            if name in VIT_ZOO:
+                r, _ = _bench_vit(name, VIT_BATCH.get(name, 64), policy,
+                                  on_accel)
+            else:
+                r = bench_swin(name, SWIN_BATCH.get(name, 32), policy,
+                               on_accel)
+            res[name] = r
+            print(f"  {name}: bf16 {r['bf16_img_s']} | int8 "
+                  f"{r['lis_on_img_s']} ({r['lis_on_vs_baseline']}x) | "
+                  f"lis-off {r['lis_off_img_s']} "
+                  f"({r['lis_off_vs_baseline']}x)  b={r['batch']}")
+        except Exception as e:  # keep sweeping the rest of the zoo
+            res[name] = f"failed: {type(e).__name__}: {e}"
+            print(f"  {name}: FAILED {type(e).__name__}: {e}")
+    print("\n" + json.dumps(res))
+
+
+if __name__ == "__main__":
+    main()

@@ -99,6 +99,35 @@ def _cosine_lr(base_lr, it, iters, warmup=100):
     return 0.5 * (1 + math.cos(math.pi * e / es)) * base_lr
 
 
+def generation_loss(im, params, cfg, labels, var_pred, off, flip):
+    """The PSAQ objective for one jittered view: CE to pseudo-labels + TV
+    prior + negated patch-similarity entropy (generate_data.py:86-122).
+
+    Public and jit/grad-friendly (im is the differentiated leaf, argnums=0;
+    off/flip are TRACED so one executable serves every jitter draw) so the
+    multi-chip dry run can shard the same gradient step over a device mesh
+    — the framework's one training-style step. The KDE entropy couples
+    images ACROSS the batch (kde_differential_entropy spans the batch
+    min/max), so under data parallelism GSPMD inserts the cross-device
+    collectives; no hand-written reduction exists to get wrong."""
+    is_vit = isinstance(cfg, ViTConfig)
+    if not is_vit:
+        from .models import swin as swin_mod
+
+    im_jit = jnp.roll(im, (off, off), axis=(2, 3))
+    im_jit = jnp.where(flip, im_jit[:, :, :, ::-1], im_jit)
+    taps: list = []
+    if is_vit:
+        logits = vit.fp_forward(params, cfg, im_jit, attn_tap=taps)
+    else:
+        logits = swin_mod.fp_forward(params, cfg, im_jit, attn_tap=taps)
+    logp = jax.nn.log_softmax(logits)
+    loss_oh = -jnp.take_along_axis(logp, labels[:, None], axis=1).mean()
+    loss_tv = jnp.abs(total_variation(im_jit) - var_pred)
+    loss_entropy = -patch_similarity_entropy(taps, drop_cls=is_vit)
+    return loss_entropy + 1.0 * loss_oh + 0.05 * loss_tv
+
+
 def generate_data(
     params,
     cfg,
@@ -112,10 +141,6 @@ def generate_data(
     reference's build_model taps timm's Attention and WindowAttention alike
     (utils/build_model.py:78-108)."""
     import optax
-
-    is_vit = isinstance(cfg, ViTConfig)
-    if not is_vit:
-        from .models import swin as swin_mod
 
     rng = random.Random(seed)
     key = jax.random.PRNGKey(seed)
@@ -131,18 +156,7 @@ def generate_data(
     opt_state = opt.init(img)
 
     def loss_fn(im, off, flip):
-        im_jit = jnp.roll(im, (off, off), axis=(2, 3))
-        im_jit = jnp.where(flip, im_jit[:, :, :, ::-1], im_jit)
-        taps: list = []
-        if is_vit:
-            logits = vit.fp_forward(params, cfg, im_jit, attn_tap=taps)
-        else:
-            logits = swin_mod.fp_forward(params, cfg, im_jit, attn_tap=taps)
-        logp = jax.nn.log_softmax(logits)
-        loss_oh = -jnp.take_along_axis(logp, labels[:, None], axis=1).mean()
-        loss_tv = jnp.abs(total_variation(im_jit) - var_pred)
-        loss_entropy = -patch_similarity_entropy(taps, drop_cls=is_vit)
-        return loss_entropy + 1.0 * loss_oh + 0.05 * loss_tv
+        return generation_loss(im, params, cfg, labels, var_pred, off, flip)
 
     grad_fn = jax.jit(jax.grad(loss_fn))
 

@@ -10,6 +10,7 @@ import numpy as np
 import pytest
 
 import jax
+import jax.numpy as jnp
 
 from p2vit_tpu import serving
 from p2vit_tpu.config import make_policy
@@ -248,3 +249,29 @@ def test_make_pipeline_mesh_requires_devices():
 
     with pytest.raises(ValueError, match="devices"):
         pp.make_pipeline_mesh(len(jax.devices()) + 1)
+
+
+def test_dp_generation_grad_matches_single_device(calibrated):
+    """The data-free generation gradient (the framework's training-style
+    step) under DP sharding: the KDE entropy term couples images across
+    the batch, so GSPMD must insert real collectives inside grad — and
+    the result must match the single-device gradient (tolerance: the
+    collective reduction may reassociate float sums)."""
+    from p2vit_tpu import datafree
+
+    _, params, _, _ = calibrated
+    img = jax.random.normal(jax.random.PRNGKey(5), (8, 3, 32, 32))
+    labels = jnp.arange(8) % TINY.num_classes
+    args = (labels, jnp.float32(2750.0), jnp.asarray(2), jnp.asarray(True))
+
+    gfn = jax.jit(jax.grad(datafree.generation_loss),
+                  static_argnames=("cfg",))
+    single = np.asarray(gfn(img, params, TINY, *args))
+
+    m = pmesh.make_mesh(8, model_parallel=1)
+    with m:
+        sharded = np.asarray(
+            gfn(pmesh.shard_batch(m, img), pmesh.replicate(params, m),
+                TINY, *args)
+        )
+    np.testing.assert_allclose(sharded, single, rtol=2e-4, atol=2e-6)

@@ -137,7 +137,8 @@ def _bench_vit(name, batch, policy, on_accel):
     qstate = vit.synthetic_qstate(cfg)
     sstate = serving.convert(params, qstate, cfg, policy,
                              [8] * cfg.num_matmuls)
-    x = jax.random.normal(jax.random.PRNGKey(1), (batch, 3, 224, 224),
+    x = jax.random.normal(jax.random.PRNGKey(1),
+                          (batch, 3, cfg.img_size, cfg.img_size),
                           jnp.float32)
     params_bf16 = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
     t_fp = _time_fn(

@@ -1,0 +1,74 @@
+"""CPU smoke for the queued on-chip bench tools (zoo_bench, search_bench).
+
+The tunnel window is scarce: a KeyError or signature drift in a queued tool
+wastes an entire on-chip slot (the round-3 lesson applies to tools too).
+These smokes run the tools' REAL main() control flow on injected tiny
+geometries — timings are meaningless on CPU; only crash-freedom and output
+shape are asserted."""
+
+import sys
+
+import jax
+import pytest
+
+from p2vit_tpu.models import swin
+from p2vit_tpu.models.common import ViTConfig
+from p2vit_tpu.models.vit import vit_flops
+
+# patch-embed is pinned to 8 bits by the sampler, so its FLOPs share must
+# stay under the 1.1x-all-4-bit constraint headroom (10%) or the Pareto
+# front is structurally empty: patch 4 at embed 32 / depth 4 gives ~3%
+TINY_VIT = ViTConfig(
+    img_size=32, patch_size=4, num_classes=10, embed_dim=32, depth=4,
+    num_heads=2,
+)
+# zoo_bench only runs forwards — the shallower geometry compiles faster
+TINY_VIT_ZOO = ViTConfig(
+    img_size=32, patch_size=8, num_classes=10, embed_dim=16, depth=2,
+    num_heads=2,
+)
+TINY_SWIN = swin.SwinConfig(
+    img_size=32, patch_size=4, num_classes=10, embed_dim=16,
+    depths=(2, 2), num_heads=(2, 2), window_size=4,
+)
+
+
+def test_search_bench_smoke(monkeypatch, capsys):
+    import tools.search_bench as sb
+
+    name = "tinyvit_patch8_32"
+    monkeypatch.setitem(sb.VIT_ZOO, name, TINY_VIT)
+    monkeypatch.setitem(sb.MEAN_HESSIAN, "tinyvit",
+                        [1.0] * len(vit_flops(TINY_VIT)))
+    monkeypatch.setattr(sys, "argv",
+                        ["search_bench", name, "--val-batches", "1",
+                         "--batch", "4"])
+    sb.main()
+    out = capsys.readouterr().out
+    assert "END-TO-END --mixed wall" in out
+    assert "WARNING" not in out  # zero-recompile claim must hold
+
+
+def test_search_bench_rejects_unknown_hessian(monkeypatch):
+    import tools.search_bench as sb
+
+    name = "nohess_patch8_32"
+    monkeypatch.setitem(sb.VIT_ZOO, name, TINY_VIT)
+    monkeypatch.setattr(sys, "argv", ["search_bench", name])
+    with pytest.raises(SystemExit):
+        sb.main()
+
+
+def test_zoo_bench_smoke(monkeypatch, capsys):
+    import tools.zoo_bench as zb
+
+    vname, sname = "tinyvit_patch8_32", "tinyswin_patch4_window4_32"
+    monkeypatch.setitem(zb.VIT_ZOO, vname, TINY_VIT_ZOO)
+    monkeypatch.setitem(zb.SWIN_ZOO, sname, TINY_SWIN)
+    monkeypatch.setitem(zb.VIT_BATCH, vname, 4)
+    monkeypatch.setitem(zb.SWIN_BATCH, sname, 4)
+    monkeypatch.setattr(sys, "argv", ["zoo_bench", vname, sname])
+    zb.main()
+    out = capsys.readouterr().out
+    assert "FAILED" not in out
+    assert vname in out and sname in out

@@ -54,7 +54,8 @@ def main():
           f"val={n_batches}x{batch}")
 
     params = vit.init_params(jax.random.PRNGKey(0), cfg)
-    xc = jax.random.normal(jax.random.PRNGKey(7), (100, 3, 224, 224))
+    s = cfg.img_size
+    xc = jax.random.normal(jax.random.PRNGKey(7), (100, 3, s, s))
 
     t0 = time.perf_counter()
     calib = vit.calibrate(params, cfg, policy, xc)
@@ -68,7 +69,7 @@ def main():
     xs, ys = [], []
     for i in range(n_batches):
         x = jax.random.normal(jax.random.PRNGKey(100 + i),
-                              (batch, 3, 224, 224))
+                              (batch, 3, s, s))
         xs.append(x)
         ys.append(np.asarray(jnp.argmax(fp(params, x), axis=-1)))
 
@@ -90,11 +91,20 @@ def main():
         return 100.0 * correct / total
 
     rng = random.Random(0)
-    mean_hessian = MEAN_HESSIAN[model]
+    short = model.split("_patch")[0]  # MEAN_HESSIAN keys are short names
+    if short not in MEAN_HESSIAN:
+        sys.exit(f"no mean-Hessian table for {short}; the reference's "
+                 f"--mixed models are {list(MEAN_HESSIAN)} "
+                 "(test_quant.py:207-257)")
+    mean_hessian = MEAN_HESSIAN[short]
     t0 = time.perf_counter()
     front = search.pareto_front(calib.flops, calib.global_distance,
                                 mean_hessian, rng)
     t_pareto = time.perf_counter() - t0
+    if not front:
+        sys.exit("Pareto front is empty: the pinned-8-bit patch embed "
+                 "exceeds the 1.1x-all-4-bit constraint headroom at this "
+                 "geometry (search.sample_bit_configs)")
     print(f"  Pareto sampling+Omega ranking ({len(front)} configs): "
           f"{t_pareto:.3f} s (pure host)")
 

@@ -43,7 +43,8 @@ SWIN_BATCH = {"swin_tiny_patch4_window7_224": 64,
 def bench_swin(name, batch, policy, on_accel):
     cfg = SWIN_ZOO[name]
     params = swin_mod.init_params(jax.random.PRNGKey(2), cfg)
-    x = jax.random.normal(jax.random.PRNGKey(3), (batch, 3, 224, 224),
+    x = jax.random.normal(jax.random.PRNGKey(3),
+                          (batch, 3, cfg.img_size, cfg.img_size),
                           jnp.float32)
     calib = swin_mod.calibrate(params, cfg, policy, x[:8])
     ss = serving_swin.convert(params, calib.qstate, cfg, policy, 8)

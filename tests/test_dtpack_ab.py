@@ -47,10 +47,14 @@ def test_attention_arms_exact():
 
     s_lanes = np.asarray(
         ab.batched_arm(q, k, ((2,), (2,)), nfull, nfull, g_step=4))
+    s_ksub = np.asarray(
+        ab.batched_arm(q, jnp.transpose(k, (0, 2, 1)).copy(),
+                       ((2,), (1,)), nfull, nfull, g_step=4))
     s_xsub = np.asarray(
         ab.batched_arm(jnp.transpose(q, (0, 2, 1)).copy(),
                        jnp.transpose(k, (0, 2, 1)).copy(),
                        ((1,), (1,)), nfull, nfull, g_step=4))
+    np.testing.assert_array_equal(s_lanes, s_ksub)
     np.testing.assert_array_equal(s_lanes, s_xsub)
 
     vf = v.astype(jnp.float32)

@@ -197,6 +197,10 @@ def run_attention_family(g, nfull, nr, d, rng):
     arms = {
         "lanes": (lambda a, b: batched_arm(a, b, ((2,), (2,)), nfull, nfull),
                   q, k),
+        # ksub: the standard untransposed A@B form — only k needs the
+        # transposed store, not the whole dataflow
+        "ksub": (lambda a, b: batched_arm(a, b, ((2,), (1,)), nfull, nfull),
+                 q, k_t),
         "xsub": (lambda a, b: batched_arm(a, b, ((1,), (1,)), nfull, nfull),
                  q_t, k_t),
     }
@@ -215,8 +219,10 @@ def run_attention_family(g, nfull, nr, d, rng):
         except Exception as e:
             print(f"   {arm:6s} FAILED: {type(e).__name__}: "
                   f"{str(e).splitlines()[0][:120]}")
-    if len(res) == 2:
-        print(f"   xsub vs lanes: {res['lanes'] / res['xsub']:.3f}x")
+    if "lanes" in res:
+        for arm in ("ksub", "xsub"):
+            if arm in res:
+                print(f"   {arm} vs lanes: {res['lanes'] / res[arm]:.3f}x")
 
     print(f"-- attn@v: G={g} NR={nr} N={nfull} d={d}  (f32 MACs, as served)")
     vf = v.astype(jnp.float32)

@@ -68,6 +68,14 @@ def test_attention_arms_exact():
     np.testing.assert_array_equal(av_lanes, av_xsub)
 
 
+def test_checksum_matches_numpy():
+    """2**31 must not be traced into a jitted mod on an int32 operand —
+    the interpret-mode main smoke caught an OverflowError here."""
+    x = (jnp.arange(300, dtype=jnp.int32) - 150).astype(jnp.int8)
+    want = int(np.asarray(x, dtype=np.int32).sum()) % (2**31)
+    assert ab._checksum(x) == want
+
+
 def test_folded_ln_bitwise():
     from p2vit_tpu.ops.intln import int_ln_requant
 

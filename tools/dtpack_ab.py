@@ -142,8 +142,10 @@ def _time(fn, a, b, iters=100):
 
 
 def _checksum(out):
-    # int8 wraps identically across arms iff the int32 accums are equal
-    return int(jnp.sum(out.astype(jnp.int32) * 1) % (2**31))
+    # int8 wraps identically across arms iff the int32 accums are equal.
+    # Modulo in PYTHON after the fetch: 2**31 overflows int32 if it gets
+    # traced into the jitted mod (caught by the interpret-mode main smoke).
+    return int(jnp.sum(out.astype(jnp.int32))) % (2**31)
 
 
 def run_gemm_family(name, m, k, n, rng):
@@ -240,8 +242,9 @@ def run_attention_family(g, nfull, nr, d, rng):
         try:
             out = fn(a, b)
             # MACs are exact small integers in f32; checksum in int32 so
-            # float summation order can't differ across layouts
-            csum = int(jnp.sum(out.astype(jnp.int32)) % (2**31))
+            # float summation order can't differ across layouts (modulo in
+            # Python — see _checksum)
+            csum = int(jnp.sum(out.astype(jnp.int32))) % (2**31)
             if ref_sum is None:
                 ref_sum = csum
             ok = "ok" if csum == ref_sum else f"MISMATCH({csum}!={ref_sum})"

@@ -294,17 +294,29 @@ def test_swin_serving_matches_reference_argmax(calibrated):
     assert (srv.argmax(1) == ref_logits.argmax(1)).all()
 
 
-@pytest.mark.slow
-def test_full_size_swin_tiny_parity(ref_env):
-    """Golden parity at REAL Swin-Tiny geometry (224², C=96, depths 2/2/6/2,
-    heads 3/6/12/24, window 7) — the first time the reference Swin has run
-    at full size at all (it cannot run unshimmed). Same evidence structure
-    as the full-size ViT tests (test_reference_model_parity.py): decisions
-    exact up to measured knife-edge envelopes, logits drift bounded, argmax
-    agreement on a fresh 16-image batch, serving tracks the simulation."""
+@pytest.mark.parametrize(
+    "zoo_name",
+    [
+        pytest.param("swin_tiny_patch4_window7_224", marks=pytest.mark.slow),
+        # small/base add ~10 min of CPU torch+XLA each: golden anchors for
+        # the RESULTS.md zoo rows, run explicitly with -m xslow
+        pytest.param("swin_small_patch4_window7_224",
+                     marks=pytest.mark.xslow),
+        pytest.param("swin_base_patch4_window7_224",
+                     marks=pytest.mark.xslow),
+    ],
+)
+def test_full_size_swin_parity(ref_env, zoo_name):
+    """Golden parity at REAL Swin geometry (tiny: 224², C=96, depths
+    2/2/6/2, heads 3/6/12/24, window 7; small: depth-18 stage 2; base:
+    C=128, heads 4/8/16/32) — the reference Swin cannot run unshimmed at
+    all. Same evidence structure as the full-size ViT tests
+    (test_reference_model_parity.py): decisions exact up to measured
+    knife-edge envelopes, logits drift bounded, argmax agreement on a
+    fresh 16-image batch, serving tracks the simulation."""
     from p2vit_tpu.models import SWIN_ZOO
 
-    scfg = SWIN_ZOO["swin_tiny_patch4_window7_224"]
+    scfg = SWIN_ZOO[zoo_name]
     model, params, x, policy, calib = _calibrate_pair(ref_env, scfg, 2)
     qs = calib.qstate
     x_eval = np.asarray(

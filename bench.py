@@ -27,14 +27,19 @@ import jax
 import jax.numpy as jnp
 
 
-def _time_fn(step, x, iters=20, repeats=3):
+def _time_fn(step, x, *consts, iters=20, repeats=3):
     """On-device loop timing (see p2vit_tpu.profiling.device_time for why:
     host-side timing through the axon tunnel measures RTT, not compute; the
     tunnel also adds ~30 ms fixed overhead per run call, so iters must be
-    large enough to amortize it — 20 x ~40 ms keeps the bias under 4%)."""
+    large enough to amortize it — 20 x ~40 ms keeps the bias under 4%).
+
+    Pass big state (weights, serving state) via ``consts`` so it enters the
+    jit as RUNTIME arguments: a closure inlines the arrays as HLO constants,
+    and a ViT-L-sized program exceeds the tunnel's remote-compile request
+    cap (HTTP 413) — device_time's documented contract."""
     from p2vit_tpu.profiling import device_time
 
-    return device_time(step, x, iters=iters, repeats=repeats)
+    return device_time(step, x, *consts, iters=iters, repeats=repeats)
 
 
 def _ensure_live_backend():
@@ -108,16 +113,25 @@ def _load_ledger():
 
 def _update_ledger(res):
     """After a REAL on-chip run, persist the fresh numbers so future CPU
-    fallbacks carry them (the commit happens with the round's work)."""
+    fallbacks carry them (the commit happens with the round's work).
+
+    Merge OVER the existing ledger, numeric/bool values only: a guarded
+    bench section that failed mid-run writes an 'unavailable: ...' string
+    into res — that must neither enter the ledger nor erase the key's
+    last-known-good value (the ledger's contract is 'latest corroborated
+    on-chip numbers', per key)."""
     import datetime
     import os
 
-    keep = {k: v for k, v in res.items()
-            if isinstance(v, (int, float)) or k in ("u8_exact",
-                                                    "u8_affine_exact")}
-    keep = {"captured": datetime.date.today().isoformat(),
+    keep = _load_ledger() or {}
+    keep.update({k: v for k, v in res.items()
+                 if isinstance(v, (int, float, bool))})
+    keep = {**keep,
+            "captured": datetime.date.today().isoformat(),
             "platform": "tpu",
-            "source": "bench.py on-chip run (auto-written ledger)", **keep}
+            "source": "bench.py on-chip run (auto-written ledger; keys "
+                      "from a prior capture survive if their section was "
+                      "unavailable in the latest run)"}
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), _LEDGER)
     try:
         with open(path, "w") as f:
@@ -142,13 +156,13 @@ def _bench_vit(name, batch, policy, on_accel):
                           jnp.float32)
     params_bf16 = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
     t_fp = _time_fn(
-        jax.jit(lambda xx: vit.fp_forward(params_bf16, cfg,
-                                          xx.astype(jnp.bfloat16))), x)
+        lambda xx, p: vit.fp_forward(p, cfg, xx.astype(jnp.bfloat16)),
+        x, params_bf16)
     out = {"bf16_img_s": round(batch / t_fp, 2)}
     for key, lis in (("lis_on", True), ("lis_off", False)):
         t = _time_fn(
-            jax.jit(lambda xx, lis=lis: serving.serving_forward(
-                sstate, cfg, xx, use_pallas=on_accel, lis=lis)), x)
+            lambda xx, s, lis=lis: serving.serving_forward(
+                s, cfg, xx, use_pallas=on_accel, lis=lis), x, sstate)
         out[f"{key}_img_s"] = round(batch / t, 2)
         out[f"{key}_vs_baseline"] = round(t_fp / t, 4)
     # the reference's blessed default config is [4]*n, W4A8
@@ -159,8 +173,8 @@ def _bench_vit(name, batch, policy, on_accel):
         sstate4 = serving.convert(params, qstate, cfg, policy,
                                   [4] * cfg.num_matmuls)
         t4 = _time_fn(
-            jax.jit(lambda xx: serving.serving_forward(
-                sstate4, cfg, xx, use_pallas=on_accel)), x)
+            lambda xx, s: serving.serving_forward(
+                s, cfg, xx, use_pallas=on_accel), x, sstate4)
         out["w4a8_img_s"] = round(batch / t4, 2)
         out["w4a8_vs_baseline"] = round(t_fp / t4, 4)
     out["batch"] = batch
@@ -201,8 +215,8 @@ def main():
                 jax.random.PRNGKey(11), x.shape, 0, 256, dtype=jnp.uint8
             )
             t_u8 = _time_fn(
-                jax.jit(lambda xx: serving.serving_forward(
-                    sstate, cfg, xx, use_pallas=True)), u8)
+                lambda xx, s: serving.serving_forward(
+                    s, cfg, xx, use_pallas=True), u8, sstate)
             res["deit_small_u8_img_s"] = round(small["batch"] / t_u8, 2)
         except Exception as e:  # pragma: no cover - hardware dependent
             res["u8_exact"] = f"unavailable: {type(e).__name__}"
@@ -210,8 +224,8 @@ def main():
     # fake-quant simulation (search-time eval path), DeiT-S
     bit_idx = vit.bits_to_idx([8] * cfg.num_matmuls)
     t_sim = _time_fn(
-        jax.jit(lambda xx: vit.quant_forward(params, qstate, cfg, policy, xx,
-                                             bit_idx)), x)
+        lambda xx, p, q: vit.quant_forward(p, q, cfg, policy, xx, bit_idx),
+        x, params, qstate)
     res["sim_img_s"] = round(small["batch"] / t_sim, 2)
 
     if on_accel:  # skip the big model on the CPU fallback (compile minutes)
@@ -233,15 +247,15 @@ def main():
             jax.random.PRNGKey(7), (calib_batch, 3, 224, 224), jnp.float32
         )
 
-        def calib_step(xx):
-            qs, _ = vit._calibrate_jit(params, cfg, policy, xx, None)
+        def calib_step(xx, p):
+            qs, _ = vit._calibrate_jit(p, cfg, policy, xx, None)
             leaves = jax.tree.leaves(qs)
             return jnp.stack(
                 [jnp.asarray(l, jnp.float32).sum() for l in leaves]
             ).sum()[None]
 
         res["calib_s_100img"] = round(
-            _time_fn(jax.jit(calib_step), xc, iters=1, repeats=4), 3
+            _time_fn(calib_step, xc, params, iters=1, repeats=4), 3
         )
     except Exception as e:  # pragma: no cover - hardware dependent
         res["calib_s_100img"] = f"unavailable: {type(e).__name__}"
@@ -261,21 +275,23 @@ def main():
         scalib = swin_mod.calibrate(sparams, scfg, policy, sx[:8])
         ss = serving_swin.convert(sparams, scalib.qstate, scfg, policy, 8)
         t = _time_fn(
-            jax.jit(lambda xx: serving_swin.serving_forward(
-                ss, scalib.qstate, scfg, policy, xx, use_pallas=on_accel)), sx)
+            lambda xx, s, q: serving_swin.serving_forward(
+                s, q, scfg, policy, xx, use_pallas=on_accel),
+            sx, ss, scalib.qstate)
         res["swin_tiny_img_s"] = round(sbatch / t, 2)
         sparams_bf16 = jax.tree.map(lambda a: a.astype(jnp.bfloat16), sparams)
         t_fp = _time_fn(
-            jax.jit(lambda xx: swin_mod.fp_forward(
-                sparams_bf16, scfg, xx.astype(jnp.bfloat16))), sx)
+            lambda xx, p: swin_mod.fp_forward(p, scfg,
+                                              xx.astype(jnp.bfloat16)),
+            sx, sparams_bf16)
         res["swin_tiny_bf16_img_s"] = round(sbatch / t_fp, 2)
         res["swin_tiny_vs_baseline"] = round(t_fp / t, 4)
         # first-class LIS pair for Swin too (fp softmax on the same codes,
         # the reference's Config(lis=False) configuration)
         t_off = _time_fn(
-            jax.jit(lambda xx: serving_swin.serving_forward(
-                ss, scalib.qstate, scfg, policy, xx, use_pallas=on_accel,
-                lis=False)), sx)
+            lambda xx, s, q: serving_swin.serving_forward(
+                s, q, scfg, policy, xx, use_pallas=on_accel, lis=False),
+            sx, ss, scalib.qstate)
         res["swin_tiny_lis_off_img_s"] = round(sbatch / t_off, 2)
         res["swin_tiny_lis_off_vs_baseline"] = round(t_fp / t_off, 4)
         res["swin_batch"] = sbatch

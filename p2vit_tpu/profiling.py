@@ -29,6 +29,46 @@ import jax
 import jax.numpy as jnp
 
 
+def require_tpu(max_wait_s: float = 120.0) -> None:
+    """Fail FAST when the axon tunnel is dead instead of hanging forever.
+
+    The axon plugin initializes its tunnel client inside ``jax.devices()``;
+    a dead tunnel blocks in make_c_api_client with ~0 CPU, so an on-chip
+    tool that just calls jax.devices() hangs until an outer ``timeout``
+    kills it (90 min per queue slot). The on-chip tools are meaningless on
+    CPU, so unlike bench.py's CPU fallback this probes in a SUBPROCESS
+    (parent import state untouched) and ``sys.exit``s on failure. No-op
+    when the caller explicitly requested CPU (JAX_PLATFORMS=cpu — the
+    tests' smoke path).
+    """
+    import os
+    import subprocess
+    import sys
+
+    if os.environ.get("JAX_PLATFORMS", "").split(",")[0] == "cpu":
+        return
+    deadline = time.monotonic() + max_wait_s
+    while True:
+        try:
+            subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp; d = jax.devices(); "
+                 "assert d[0].platform != 'cpu', d; "
+                 "assert float(jnp.ones((8, 8)).sum()) == 64.0"],
+                timeout=min(90, max(15, deadline - time.monotonic())),
+                check=True, capture_output=True,
+            )
+            return
+        except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+            if time.monotonic() >= deadline:
+                sys.exit(
+                    "axon tunnel unresponsive (subprocess probe under "
+                    "timeout failed); this tool needs the real chip — "
+                    "aborting instead of hanging"
+                )
+            time.sleep(10)
+
+
 def device_time(step, x, *consts, iters: int = 10, repeats: int = 3) -> float:
     """Best-of-``repeats`` seconds per call of ``step(x, *consts) -> array``.
 

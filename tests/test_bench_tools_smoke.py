@@ -33,6 +33,14 @@ TINY_SWIN = swin.SwinConfig(
 )
 
 
+def test_require_tpu_noop_on_cpu():
+    """Under JAX_PLATFORMS=cpu (the conftest's test env) the dead-tunnel
+    guard must return immediately — the tools' smoke path depends on it."""
+    from p2vit_tpu.profiling import require_tpu
+
+    require_tpu(max_wait_s=1)
+
+
 def test_search_bench_smoke(monkeypatch, capsys):
     import tools.search_bench as sb
 

@@ -566,3 +566,23 @@ def test_full_size_deit_base_parity(ref_setup):
         eval_batch=16, check_import=False, bits_list=(8,),
         ptf_base_tol=3e-3,
     )
+
+
+@pytest.mark.xslow
+@pytest.mark.slow  # so -m "not slow" (which replaces the addopts -m) skips it
+def test_full_size_vit_large_parity(ref_setup):
+    """Golden parity at ViT-Large geometry (dim 1024, 16 heads, depth 24 —
+    the only zoo geometry no other golden test covers; twice the depth
+    doubles the knife-edge drift accumulation the deit_base envelope was
+    sized for). Extra-slow anchor (torch-eager reference calibration at
+    ViT-L on CPU): deselected by default, run with -m xslow.
+
+    Ref: /root/reference/models/vit_fquant.py:1050-1074 (vit_large
+    geometry: patch 16, embed 1024, depth 24, heads 16, mlp_ratio 4).
+    """
+    _full_size_parity(
+        ViTConfig(img_size=224, patch_size=16, num_classes=1000,
+                  embed_dim=1024, depth=24, num_heads=16),
+        eval_batch=16, check_import=False, bits_list=(8,),
+        ptf_base_tol=3e-3,
+    )

@@ -299,11 +299,13 @@ def test_swin_serving_matches_reference_argmax(calibrated):
     [
         pytest.param("swin_tiny_patch4_window7_224", marks=pytest.mark.slow),
         # small/base add ~10 min of CPU torch+XLA each: golden anchors for
-        # the RESULTS.md zoo rows, run explicitly with -m xslow
+        # the RESULTS.md zoo rows, run explicitly with -m xslow. They also
+        # carry `slow` so a command-line -m "not slow" (which REPLACES the
+        # addopts -m, last value wins) still excludes them.
         pytest.param("swin_small_patch4_window7_224",
-                     marks=pytest.mark.xslow),
+                     marks=[pytest.mark.xslow, pytest.mark.slow]),
         pytest.param("swin_base_patch4_window7_224",
-                     marks=pytest.mark.xslow),
+                     marks=[pytest.mark.xslow, pytest.mark.slow]),
     ],
 )
 def test_full_size_swin_parity(ref_env, zoo_name):

@@ -266,6 +266,9 @@ def section_calib():
 
 
 if __name__ == "__main__":
+    from p2vit_tpu.profiling import require_tpu
+
+    require_tpu()  # fail fast on a dead tunnel (no-op under JAX_PLATFORMS=cpu)
     sections = sys.argv[1:] or ["vit", "swin", "calib"]
     print("devices:", jax.devices())
     for name in sections:

@@ -225,6 +225,9 @@ def sweep(model: str):
 
 
 def main():
+    from p2vit_tpu.profiling import require_tpu
+
+    require_tpu()  # fail fast on a dead tunnel (no-op under JAX_PLATFORMS=cpu)
     models = sys.argv[1:] or ["swin_tiny_patch4_window7_224"]
     out = [sweep(m) for m in models]
     print("\n" + json.dumps(out))

@@ -379,6 +379,16 @@ def run_ln_fold(m, c, rng):
 
 
 def main(batch=256):
+    if not INTERPRET:
+        from p2vit_tpu.profiling import require_tpu
+
+        require_tpu()  # fail fast on a dead tunnel
+    # shape contract of the fixed block sizes below (gemm block_m 512 with
+    # m = batch*224; attention g_step 8 with g = batch*3; LN fold block 256
+    # with m2 = batch*112) — all satisfied iff batch % 16 == 0
+    if batch % 16:
+        sys.exit(f"batch must be a multiple of 16 (got {batch}): the fixed "
+                 "Pallas block sizes require it (see main docstring comment)")
     print(f"== dtpack_ab platform={jax.devices()[0].platform} batch={batch}")
     rng = jax.random.PRNGKey(0)
     ks = jax.random.split(rng, 8)

@@ -381,6 +381,10 @@ def main():
         INTERPRET = True
         for v in BENCH_R3_TERMS.values():
             v["batch"] = 2
+    else:
+        from p2vit_tpu.profiling import require_tpu
+
+        require_tpu()  # fail fast on a dead tunnel
     names = args or ["deit_small", "deit_tiny"]
     results = {}
     for short in names:

@@ -38,6 +38,9 @@ from p2vit_tpu.models import VIT_ZOO, vit
 
 
 def main():
+    from p2vit_tpu.profiling import require_tpu
+
+    require_tpu()  # fail fast on a dead tunnel (no-op under JAX_PLATFORMS=cpu)
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     model = args[0] if args else "deit_base_patch16_224"
 
@@ -59,7 +62,11 @@ def main():
 
     t0 = time.perf_counter()
     calib = vit.calibrate(params, cfg, policy, xc)
-    jax.block_until_ready(jax.tree_util.tree_leaves(calib.qstate)[0])
+    # force a HOST FETCH, not block_until_ready: the axon tunnel's
+    # block_until_ready returns before the computation finishes (CLAUDE.md;
+    # bench.py's calib timing uses the same fetch discipline)
+    float(jnp.asarray(jax.tree_util.tree_leaves(calib.qstate)[0],
+                      jnp.float32).sum())
     t_calib = time.perf_counter() - t0
     print(f"  calibration (100 img, jitted solve): {t_calib:.2f} s wall")
 
@@ -109,7 +116,9 @@ def main():
           f"{t_pareto:.3f} s (pure host)")
 
     top5 = [(c, validate_fn(c)) for c, _ in front[:5]]
-    print(f"  top-5 Pareto validated: best {max(a for _, a in top5):.2f}% "
+    n_top = len(top5)  # may be < 5: times[:n_top] is the top-K phase only
+    print(f"  top-{n_top} Pareto validated: best "
+          f"{max(a for _, a in top5):.2f}% "
           f"(first candidate incl. compile: {times[0]:.2f} s)")
 
     t0 = time.perf_counter()
@@ -131,8 +140,9 @@ def main():
           f"{n_batches * batch / np.median(steady):.0f} img/s")
     print(f"  jit cache size after {n_val} configs: {cache} "
           f"(zero-recompile claim holds iff 1)")
-    # t_evo already contains its validations' wall time
-    wall = t_calib + t_pareto + sum(times[:5]) + t_evo
+    # t_evo already contains its validations' wall time; sum only the
+    # top-K phase's entries (times keeps growing during evolution)
+    wall = t_calib + t_pareto + sum(times[:n_top]) + t_evo
     print(f"  END-TO-END --mixed wall (calib + Pareto + top-5 + evolution): "
           f"{wall:.1f} s")
     best = result[0]

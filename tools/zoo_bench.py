@@ -49,15 +49,18 @@ def bench_swin(name, batch, policy, on_accel):
     calib = swin_mod.calibrate(params, cfg, policy, x[:8])
     ss = serving_swin.convert(params, calib.qstate, cfg, policy, 8)
     params_bf16 = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
+    # big state rides as device_time consts, never closures: a closure
+    # inlines the weights as HLO constants and a swin_base/vit_large-sized
+    # program exceeds the tunnel's remote-compile cap (HTTP 413)
     t_fp = _time_fn(
-        jax.jit(lambda xx: swin_mod.fp_forward(params_bf16, cfg,
-                                               xx.astype(jnp.bfloat16))), x)
+        lambda xx, p: swin_mod.fp_forward(p, cfg, xx.astype(jnp.bfloat16)),
+        x, params_bf16)
     out = {"bf16_img_s": round(batch / t_fp, 2)}
     for key, lis in (("lis_on", True), ("lis_off", False)):
         t = _time_fn(
-            jax.jit(lambda xx, lis=lis: serving_swin.serving_forward(
-                ss, calib.qstate, cfg, policy, xx, use_pallas=on_accel,
-                lis=lis)), x)
+            lambda xx, s, q, lis=lis: serving_swin.serving_forward(
+                s, q, cfg, policy, xx, use_pallas=on_accel, lis=lis),
+            x, ss, calib.qstate)
         out[f"{key}_img_s"] = round(batch / t, 2)
         out[f"{key}_vs_baseline"] = round(t_fp / t, 4)
     out["batch"] = batch
@@ -65,6 +68,9 @@ def bench_swin(name, batch, policy, on_accel):
 
 
 def main():
+    from p2vit_tpu.profiling import require_tpu
+
+    require_tpu()  # fail fast on a dead tunnel (no-op under JAX_PLATFORMS=cpu)
     names = sys.argv[1:] or (list(VIT_ZOO) + list(SWIN_ZOO))
     policy = make_policy()
     on_accel = jax.devices()[0].platform != "cpu"

@@ -144,3 +144,30 @@ def test_int8_matmul_res_ln_bitwise(seed, m, k, n):
                                  ln_w, ln_b, ln_out, ratio)
     for g, rr in zip(got, ref):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(rr))
+
+
+@settings(max_examples=8, **FUZZ)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    bh=st.integers(1, 4),
+    n=st.integers(2, 40),
+    d=st.integers(1, 24),
+    lis_bits=st.sampled_from([3, 4]),
+)
+def test_lis_attention_bitwise(seed, bh, n, d, lis_bits):
+    """The fused attention kernel vs its jnp twin: the whole
+    score-requant -> LIS -> shift-accumulate chain must match bit for bit
+    at arbitrary (BH, N, d) paddings and scale magnitudes."""
+    from p2vit_tpu.ops.attention_lis import lis_attention, lis_attention_ref
+
+    rng = np.random.default_rng(seed)
+    q = jnp.asarray(rng.integers(-128, 128, size=(bh, n, d)), jnp.int8)
+    k = jnp.asarray(rng.integers(-128, 128, size=(bh, n, d)), jnp.int8)
+    v = jnp.asarray(rng.integers(-128, 128, size=(bh, n, d)), jnp.int8)
+    sr = float(2.0 ** rng.integers(-12, -6)) * 0.25
+    sa = float(2.0 ** rng.integers(-6, -2))
+    ro = float(2.0 ** rng.integers(-4, 0))
+    out = lis_attention(q, k, v, sr, sa, ro, lis_bits=lis_bits,
+                        interpret=True)
+    ref = lis_attention_ref(q, k, v, sr, sa, ro, lis_bits=lis_bits)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))

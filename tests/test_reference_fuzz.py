@@ -1,0 +1,223 @@
+"""Property-based golden parity vs the ACTUAL torch reference.
+
+test_reference_parity.py pins each quantization decision against the
+in-process reference at one seeded tensor; these tests randomize the
+VALUES (and bit types / observer modes) over a fixed small shape pool —
+shapes repeat so XLA compiles cache and hypothesis explores the value
+space, not the compile space. derandomize=True fixes the corpus, so CI is
+deterministic.
+
+Decision functions are compared EXACTLY (scales are the decisions — the
+project invariant); the integer-LN VALUE chain keeps the fixed test's
+1e-6 tolerance (torch vs XLA div/sqrt ulp).
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REF, "models")), reason="reference not mounted"
+)
+
+torch = pytest.importorskip("torch")
+
+FUZZ = dict(
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+
+SHAPE_POOL = [(2, 5, 16), (4, 9, 16), (2, 9, 24)]  # (B, N, C): fixed, cached
+W_SHAPES = [(12, 16), (24, 16), (12, 24)]
+
+
+@pytest.fixture(scope="module", autouse=True)
+def reference_on_cpu():
+    sys.path.insert(0, REF)
+    orig_t, orig_m = torch.Tensor.cuda, torch.nn.Module.cuda
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    torch.nn.Module.cuda = lambda self, *a, **k: self
+    yield
+    torch.Tensor.cuda, torch.nn.Module.cuda = orig_t, orig_m
+    sys.path.remove(REF)
+
+
+def _t(a):
+    return torch.from_numpy(np.asarray(a, dtype=np.float32))
+
+
+@settings(max_examples=40, **FUZZ)
+@given(seed=st.integers(0, 2**31 - 1), scale=st.sampled_from([0.3, 1.0, 17.0]))
+def test_round_to_pot_fuzz(seed, scale):
+    """round_to_pot vs the reference's round_ln, including exact powers of
+    two and exact midpoints (the tie boundary: gt is strict on both sides)."""
+    from p2vit_tpu.quant.fake_quant import round_to_pot
+
+    rng = np.random.default_rng(seed)
+    x = np.abs(rng.normal(size=256).astype(np.float32)) * scale + 1e-8
+    e = rng.integers(-8, 8, size=64).astype(np.float32)
+    specials = np.concatenate([2.0**e, 3.0 * 2.0 ** (e - 1)])  # PoT + midpoints
+    x = np.concatenate([x, specials.astype(np.float32)])
+    y = torch.floor(torch.div(torch.log(_t(x)), torch.log(torch.Tensor([2.0]))))
+    ref = (torch.gt(_t(x) - 2**y, 2 ** (y + 1) - _t(x)) + y).numpy()
+    np.testing.assert_array_equal(np.asarray(round_to_pot(jnp.asarray(x))), ref)
+
+
+@settings(max_examples=24, **FUZZ)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    wi=st.integers(0, len(W_SHAPES) - 1),
+    bits=st.sampled_from(["int4", "int8"]),
+    mode=st.sampled_from(["channel_wise", "layer_wise"]),
+)
+def test_minmax_weight_pot_search_fuzz(seed, wi, bits, mode):
+    """The output-aware 4-candidate PoT weight search: same scale for every
+    (bit type, mode) at randomized weights/activations.
+
+    SIGNED types only: the reference's unsigned-weight solve is broken —
+    channel_wise raises RuntimeError('Boolean value of Tensor ... is
+    ambiguous') at minmax.py:149 `if not zero_point:`, and layer_wise
+    diverges on the asymmetric branch. Unsigned weight bit types are
+    solved on the symmetric path by deliberate quirk decision (CLAUDE.md
+    invariant; no executed reference path quantizes weights unsigned)."""
+    from models.ptq.observer.minmax import MinmaxObserver
+    from models.ptq.bit_type import BIT_TYPE_DICT as REF_BITS
+
+    from p2vit_tpu.quant.bit_type import BIT_TYPE_DICT
+    from p2vit_tpu.quant.observers import collect_minmax, minmax_pot_weight_params
+
+    rng = np.random.default_rng(seed)
+    n, k = W_SHAPES[wi]
+    w = rng.normal(size=(n, k)).astype(np.float32)
+    x = (rng.normal(size=(3, 5, k)) * rng.choice([0.3, 1, 4])).astype(np.float32)
+
+    obs = MinmaxObserver("linear_weight", REF_BITS[bits], mode)
+    obs.update(_t(w))
+    ref_scale, ref_zp = obs.get_quantization_params(_t(x), others=[_t(np.zeros(n, np.float32))])
+    stats = collect_minmax(jnp.asarray(w), "weight",
+                           layer_wise=(mode == "layer_wise"))
+    scale, zp = minmax_pot_weight_params(
+        stats, jnp.asarray(w), jnp.asarray(x).reshape(-1, k),
+        BIT_TYPE_DICT[bits], channel_wise=(mode == "channel_wise"),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(scale).reshape(-1), ref_scale.numpy().reshape(-1)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(zp).reshape(-1), ref_zp.numpy().reshape(-1)
+    )
+
+
+@settings(max_examples=24, **FUZZ)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    si=st.integers(0, len(SHAPE_POOL) - 1),
+    bits=st.sampled_from(["int8"]),
+)
+def test_minmax_activation_pot_search_fuzz(seed, si, bits):
+    """int8 only: the one uint8 activation config (BIT_TYPE_S with
+    lis=False, config.py:41) is DEAD code — QIntSoftmax's non-int forward
+    returns raw softmax with the quantizer call commented out
+    (/root/reference/models/ptq/layers.py:437-446), which our lis=False
+    path replicates (models/vit.py: plain jax.nn.softmax, no post-quant).
+    """
+    from models.ptq.observer.minmax import MinmaxObserver
+    from models.ptq.bit_type import BIT_TYPE_DICT as REF_BITS
+
+    from p2vit_tpu.quant.bit_type import BIT_TYPE_DICT
+    from p2vit_tpu.quant.observers import collect_minmax, minmax_pot_act_params
+
+    rng = np.random.default_rng(seed)
+    x = (rng.normal(size=SHAPE_POOL[si]) * rng.choice([0.2, 1, 5])).astype(
+        np.float32)
+    obs = MinmaxObserver("activation", REF_BITS[bits], "layer_wise")
+    obs.update(_t(x))
+    ref_scale, ref_zp = obs.get_quantization_params(_t(x))
+    stats = collect_minmax(jnp.asarray(x), "activation", layer_wise=True)
+    scale, zp = minmax_pot_act_params(stats, jnp.asarray(x),
+                                      BIT_TYPE_DICT[bits])
+    np.testing.assert_array_equal(float(scale), float(ref_scale))
+    np.testing.assert_array_equal(float(zp), float(ref_zp))
+
+
+@settings(max_examples=20, **FUZZ)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    si=st.integers(0, len(SHAPE_POOL) - 1),
+    outlier=st.integers(0, 15),
+)
+def test_ptf_observer_fuzz(seed, si, outlier):
+    """PTF per-channel {1,2,4,8} mask + base scale at randomized values
+    with a randomized outlier channel."""
+    from models.ptq.observer.ptf import PtfObserver
+    from models.ptq.bit_type import BIT_TYPE_DICT as REF_BITS
+
+    from p2vit_tpu.quant.bit_type import BIT_TYPE_DICT
+    from p2vit_tpu.quant.solve import solve_act
+
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=SHAPE_POOL[si]).astype(np.float32)
+    x[..., outlier % x.shape[-1]] *= float(rng.choice([3, 10, 30]))
+    obs = PtfObserver("activation", REF_BITS["int8"], "channel_wise")
+    obs.update(_t(x))
+    ref_scale, ref_zp = obs.get_quantization_params(_t(x))
+    scale, zp, mask = solve_act("ptf", jnp.asarray(x), BIT_TYPE_DICT["int8"])
+    np.testing.assert_allclose(np.asarray(scale), ref_scale.numpy(),
+                               rtol=1e-7, atol=0)
+    np.testing.assert_array_equal(np.asarray(zp).reshape(-1),
+                                  ref_zp.numpy().reshape(-1))
+
+
+@settings(max_examples=24, **FUZZ)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    bits=st.sampled_from(["uint3", "uint4"]),
+    mag=st.sampled_from([1.0, 4.0, 16.0]),
+)
+def test_log_int_softmax_fuzz(seed, bits, mag):
+    """LIS codes are EXACT integers — any drift is a real divergence."""
+    from models.ptq.layers import QIntSoftmax
+    from models.ptq.bit_type import BIT_TYPE_DICT as REF_BITS
+
+    from p2vit_tpu.quant.bit_type import BIT_TYPE_DICT
+    from p2vit_tpu.quant.intops import log_int_softmax
+
+    rng = np.random.default_rng(seed)
+    x = (rng.normal(size=(2, 3, 7, 7)) * mag).astype(np.float32)
+    scale = np.float32(2.0 ** rng.integers(-8, -2))
+    sm = QIntSoftmax(log_i_softmax=True, bit_type=REF_BITS[bits])
+    ref = sm(_t(x), torch.tensor(scale)).numpy()
+    ours = np.asarray(
+        log_int_softmax(jnp.asarray(x), jnp.asarray(scale),
+                        BIT_TYPE_DICT[bits]))
+    np.testing.assert_array_equal(ours, ref)
+
+
+@settings(max_examples=20, **FUZZ)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    alpha=st.sampled_from([0.35, 0.5, 0.65]),
+)
+def test_smoothquant_channel_scale_fuzz(seed, alpha):
+    from p2vit_tpu.quant.smoothquant import pot_smooth_channel_scale
+
+    rng = np.random.default_rng(seed)
+    w = rng.normal(size=(24, 16)).astype(np.float32)
+    x = (rng.normal(size=(2, 9, 16)) * rng.choice([0.3, 1, 6])).astype(
+        np.float32)
+    tw, tx = _t(w), _t(x)
+    global_max_x = torch.abs(tx).max(axis=1).values.max(axis=0).values
+    max_weight = torch.abs(tw).max(axis=0).values
+    cs = global_max_x**alpha / (max_weight ** (1 - alpha))
+    y = torch.floor(torch.div(torch.log(cs), torch.log(torch.Tensor([2.0]))))
+    ref = (2.0 ** (torch.gt(cs - 2**y, 2 ** (y + 1) - cs) + y)).numpy()
+    ours = np.asarray(
+        pot_smooth_channel_scale(jnp.asarray(x), jnp.asarray(w), alpha))
+    np.testing.assert_allclose(ours, ref, rtol=0, atol=0)

@@ -221,3 +221,91 @@ def test_smoothquant_channel_scale_fuzz(seed, alpha):
     ours = np.asarray(
         pot_smooth_channel_scale(jnp.asarray(x), jnp.asarray(w), alpha))
     np.testing.assert_allclose(ours, ref, rtol=0, atol=0)
+
+
+@settings(max_examples=5, **FUZZ)
+@given(
+    wseed=st.integers(0, 2**31 - 1),
+    xseed=st.integers(0, 2**31 - 1),
+)
+def test_tiny_model_calibration_decisions_fuzz(wseed, xseed):
+    """END-TO-END decision parity at tiny geometry across random weight
+    AND calibration-batch draws: both frameworks calibrate the same model
+    on the same batch; every PoT decision must match exactly and the W8
+    quantized logits must argmax-agree. Our calibration compiles once (the
+    shapes are fixed) so each extra example costs only the torch-eager
+    reference pass."""
+    from functools import partial
+
+    import jax
+    import test_reference_model_parity as tm
+    from config import Config
+    from models.ptq import QIntLayerNorm
+    from models.vit_fquant import VisionTransformer
+
+    from p2vit_tpu.config import make_policy
+    from p2vit_tpu.models import vit
+
+    cfg = tm.TINY
+    model = VisionTransformer(
+        img_size=cfg.img_size, patch_size=cfg.patch_size,
+        num_classes=cfg.num_classes, embed_dim=cfg.embed_dim,
+        depth=cfg.depth, num_heads=cfg.num_heads, qkv_bias=True,
+        norm_layer=partial(QIntLayerNorm, eps=1e-6), input_quant=True,
+        cfg=Config(True, True, "minmax"),
+    )
+    params = vit.init_params(jax.random.PRNGKey(wseed % 2**30), cfg)
+    tm._load_our_params(model, params)
+    x = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(xseed % 2**30), (4, 3, 32, 32)),
+        dtype=np.float32,
+    )
+
+    model.eval()
+    model.model_open_calibrate()
+    with torch.no_grad():
+        model.model_open_last_calibrate()
+        model(torch.from_numpy(x))
+    model.model_close_calibrate()
+    model.model_quant()
+
+    policy = make_policy(True, True, "minmax")
+    calib = vit.calibrate(params, cfg, policy, jnp.asarray(x))
+    qs = calib.qstate
+
+    def exact(ours, theirs, name):
+        np.testing.assert_array_equal(
+            np.asarray(ours).reshape(-1),
+            theirs.detach().numpy().reshape(-1), err_msg=name)
+
+    exact(qs["qact_input"]["scale"], model.qact_input.quantizer.scale,
+          "qact_input")
+    exact(qs["patch"]["qact"]["scale"],
+          model.patch_embed.qact.quantizer.scale, "patch qact")
+    exact(qs["qact2"]["scale"], model.qact2.quantizer.scale, "final qact2")
+    for i, blk in enumerate(model.blocks):
+        bq = qs["blocks"][i]
+        aq, mq = bq["attn"], bq["mlp"]
+        exact(aq["channel_scale"][1], blk.attn.channel_scale, f"b{i} cs")
+        exact(mq["channel_scale"][1], blk.mlp.channel_scale, f"b{i} mcs")
+        exact(aq["qact0_scale"][1], blk.attn.qact0.quantizer.scale,
+              f"b{i} qact0")
+        exact(aq["qact1"]["scale"], blk.attn.qact1.quantizer.scale,
+              f"b{i} a.qact1")
+        exact(aq["qact_attn1"]["scale"],
+              blk.attn.qact_attn1.quantizer.scale, f"b{i} attn1")
+        exact(aq["qact2"]["scale"], blk.attn.qact2.quantizer.scale,
+              f"b{i} a.qact2")
+        for j, bname in enumerate(["uint3", "uint4", "int4", "int8"]):
+            exact(aq["proj_wscale"][j],
+                  blk.attn.proj.quantizer.dic_scale[bname]
+                  * torch.ones(cfg.embed_dim), f"b{i} proj w {bname}")
+
+    bit_config = [8] * cfg.num_matmuls
+    with torch.no_grad():
+        out = model(torch.from_numpy(x), bit_config=bit_config)
+    ref_logits = out[0].numpy() if isinstance(out, tuple) else out.numpy()
+    ours = np.asarray(
+        vit.quant_forward(params, qs, cfg, policy, jnp.asarray(x),
+                          vit.bits_to_idx(bit_config)))
+    assert (ours.argmax(1) == ref_logits.argmax(1)).all()

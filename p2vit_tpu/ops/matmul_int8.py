@@ -53,7 +53,7 @@ def _gelu_exact(y):
 
 
 def _kernel(s_ref, x_ref, w_ref, r_ref, b_ref, o_ref, *, qmin, qmax, gelu,
-            raw_store=False):
+            raw_store=False, w_contract_dim=1):
     # precision is meaningless for integer matmuls, but the package-global
     # jax_default_matmul_precision=highest (needed by the f32 PoT searches,
     # p2vit_tpu/__init__.py) would otherwise stamp contract_precision<fp32>
@@ -62,7 +62,7 @@ def _kernel(s_ref, x_ref, w_ref, r_ref, b_ref, o_ref, *, qmin, qmax, gelu,
     acc = jax.lax.dot_general(
         x_ref[:],
         w_ref[:],
-        dimension_numbers=(((1,), (1,)), ((), ())),
+        dimension_numbers=(((1,), (w_contract_dim,)), ((), ())),
         preferred_element_type=jnp.int32,
         precision=jax.lax.Precision.DEFAULT,
     )
@@ -112,7 +112,7 @@ def _pad_to(a, axis, mult):
 @functools.partial(
     jax.jit,
     static_argnames=("qmin", "qmax", "gelu", "block_m", "block_n", "interpret",
-                     "raw_store"),
+                     "raw_store", "w_layout"),
 )
 def int8_matmul_requant(
     x_q: jnp.ndarray,
@@ -127,39 +127,61 @@ def int8_matmul_requant(
     block_n: int | None = None,
     interpret: bool = False,
     raw_store: bool = False,
+    w_layout: str = "nk",
 ) -> jnp.ndarray:
     """out_q = clip(round(epilogue(Σ_k x_q·w_q · requant[n] + bias[n])))
 
     Args:
       x_q: (M, K) int8 activation codes.
-      w_q: (N, K) int8 weight codes (torch (out, in) layout).
+      w_q: (N, K) int8 weight codes (torch (out, in) layout), or (K, N)
+        with ``w_layout="kn"``.
       requant_scale: (N,) f32. Plain: s_x·s_w[n]/s_out (powers of two).
         GELU epilogue: s_x·s_w[n] (dequant only).
       bias_scaled: (N,) f32. Plain: bias/s_out; GELU: bias.
       out_inv: scalar f32, 1/s_out — used by the GELU epilogue.
       qmin/qmax: output clamp (the consumer activation node's bounds).
+      w_layout: "nk" (default) contracts both operands' LANE axes;
+        "kn" stores the weight transposed so its contraction dim K lives
+        on SUBLANES (dims ((1,),(0,))). Integer math is layout-invariant —
+        the two are bitwise identical (tests/test_serving.py) — but their
+        Mosaic lowerings differ; tools/dtpack_ab.py A/Bs them on chip
+        (BENCH.md round-4 decision table, VERDICT r3 item 4).
     Returns (M, N) int8 codes of the consumer activation node.
     """
+    if w_layout not in ("nk", "kn"):
+        raise ValueError(f"w_layout must be 'nk' or 'kn', got {w_layout!r}")
     m, k = x_q.shape
-    n = w_q.shape[0]
+    n = w_q.shape[0] if w_layout == "nk" else w_q.shape[1]
     block_m, block_n = _pick_blocks(m, n, block_m, block_n)
     # K must be a lane multiple for the int8 MXU; zero-pad (exact)
     x_p = _pad_to(_pad_to(x_q, 0, block_m), 1, 128)
-    w_p = _pad_to(_pad_to(w_q, 0, block_n), 1, 128)
     k = x_p.shape[1]
+    if w_layout == "nk":
+        w_p = _pad_to(_pad_to(w_q, 0, block_n), 1, 128)
+        w_spec = pl.BlockSpec((block_n, k), lambda i, j: (j, 0),
+                              memory_space=pltpu.VMEM)
+        np_ = w_p.shape[0]
+    else:
+        # K on the weight's sublane axis: pad K to match x's padded K (the
+        # contraction dims must agree), N to the lane-tiled block
+        w_p = _pad_to(_pad_to(w_q, 1, block_n), 0, k)
+        w_spec = pl.BlockSpec((k, block_n), lambda i, j: (0, j),
+                              memory_space=pltpu.VMEM)
+        np_ = w_p.shape[1]
     r_p = _pad_to(requant_scale.astype(jnp.float32), 0, block_n).reshape(1, -1)
     b_p = _pad_to(bias_scaled.astype(jnp.float32), 0, block_n).reshape(1, -1)
     s = jnp.asarray(out_inv, jnp.float32).reshape(1, 1)
-    mp, np_ = x_p.shape[0], w_p.shape[0]
+    mp = x_p.shape[0]
 
     out = pl.pallas_call(
         functools.partial(_kernel, qmin=qmin, qmax=qmax, gelu=gelu,
-                          raw_store=raw_store),
+                          raw_store=raw_store,
+                          w_contract_dim=1 if w_layout == "nk" else 0),
         grid=(mp // block_m, np_ // block_n),
         in_specs=[
             pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((block_m, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_n, k), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            w_spec,
             pl.BlockSpec((1, block_n), lambda i, j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_n), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         ],

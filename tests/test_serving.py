@@ -36,6 +36,32 @@ def test_int8_matmul_kernel_parity_interpret():
     np.testing.assert_array_equal(np.asarray(outg), np.asarray(refg))
 
 
+def test_int8_matmul_kn_layout_bit_identical_interpret():
+    """w_layout="kn" (weight K on sublanes, dims ((1,),(0,))) must equal the
+    default "nk" layout bitwise — integer accumulation is layout-invariant.
+    Shapes chosen so K (=192) is NOT a lane multiple (the DeiT-T pad case
+    the layout A/B targets, tools/dtpack_ab.py) and N needs padding too."""
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randint(-128, 128, (70, 192), dtype=np.int8))
+    w = jnp.asarray(rng.randint(-128, 128, (130, 192), dtype=np.int8))
+    r = jnp.asarray(2.0 ** rng.randint(-12, -4, 130).astype(np.float32))
+    b = jnp.asarray(rng.randn(130).astype(np.float32))
+    base = int8_matmul_requant(x, w, r, b, block_m=128, block_n=128,
+                               interpret=True)
+    kn = int8_matmul_requant(x, w.T, r, b, block_m=128, block_n=128,
+                             interpret=True, w_layout="kn")
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(kn))
+    # gelu epilogue too (the fc1 path is the layout A/B's biggest GEMM)
+    bg = int8_matmul_requant(x, w, r, b, out_inv=8.0, gelu=True,
+                             block_m=128, block_n=128, interpret=True)
+    kg = int8_matmul_requant(x, w.T, r, b, out_inv=8.0, gelu=True,
+                             block_m=128, block_n=128, interpret=True,
+                             w_layout="kn")
+    np.testing.assert_array_equal(np.asarray(bg), np.asarray(kg))
+    with pytest.raises(ValueError, match="w_layout"):
+        int8_matmul_requant(x, w, r, b, interpret=True, w_layout="bogus")
+
+
 def test_lis_attention_kernel_parity_interpret():
     rng = np.random.RandomState(1)
     q = jnp.asarray(rng.randint(-128, 128, (4, 33, 16), dtype=np.int8))

@@ -378,6 +378,41 @@ def run_ln_fold(m, c, rng):
     return t_std, t_fold, t_int
 
 
+def run_prod_kernel_ab(name, m, k, n, rng, gelu=False):
+    """Production-kernel pair: ops/matmul_int8.int8_matmul_requant with
+    w_layout="nk" vs "kn" — the REAL requant epilogue included, so this
+    times the shippable end state of a wsub win directly (the dot-level
+    arms above isolate the cause). Bitwise equality enforced (the layouts
+    are integer-identical; tests/test_serving.py pins it in interpret)."""
+    from p2vit_tpu.ops.matmul_int8 import int8_matmul_requant
+
+    kx, kw, kr, kb = jax.random.split(rng, 4)
+    x = jax.random.randint(kx, (m, k), -128, 128, jnp.int8)
+    w = jax.random.randint(kw, (n, k), -128, 128, jnp.int8)
+    w_t = w.T.copy()
+    r = 2.0 ** jax.random.randint(kr, (n,), -12, -4).astype(jnp.float32)
+    b = jax.random.normal(kb, (n,), jnp.float32)
+    kw_args = {"gelu": gelu, "out_inv": 8.0 if gelu else 1.0,
+               "interpret": INTERPRET}
+    nk_fn = lambda a, ww: int8_matmul_requant(a, ww, r, b, **kw_args)
+    kn_fn = lambda a, ww: int8_matmul_requant(a, ww, r, b, w_layout="kn",
+                                              **kw_args)
+    print(f"-- {name} [production kernel, requant epilogue]: "
+          f"M={m} K={k} N={n} gelu={gelu}")
+    try:
+        ok = bool(jnp.array_equal(nk_fn(x, w), kn_fn(x, w_t)))
+        print(f"   parity (kn == nk, bitwise): {ok}")
+        t_nk = _time(nk_fn, x, w)
+        t_kn = _time(kn_fn, x, w_t)
+        print(f"   nk {t_nk:8.4f} ms   kn {t_kn:8.4f} ms "
+              f"({t_nk / t_kn:.3f}x)")
+        return t_nk, t_kn
+    except Exception as e:
+        print(f"   FAILED: {type(e).__name__}: "
+              f"{str(e).splitlines()[0][:120]}")
+        return None
+
+
 def main(batch=256):
     if not INTERPRET:
         from p2vit_tpu.profiling import require_tpu
@@ -400,6 +435,9 @@ def main(batch=256):
     # attention shapes: G = batch*heads at g=8 images/step equivalent
     run_attention_family(batch * 3, 224, 200, 64, ks[4])
     run_ln_fold(batch * 224, 192, ks[5])
+    # shippable end state: the production kernel pair (real epilogue)
+    run_prod_kernel_ab("prod qkv", m, 192, 576, ks[6])
+    run_prod_kernel_ab("prod fc1", m, 192, 768, ks[7], gelu=True)
 
 
 if __name__ == "__main__":

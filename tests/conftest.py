@@ -25,3 +25,12 @@ _xb._backend_factories.pop("axon", None)
 jax.config.update("jax_platforms", "cpu")
 
 jax.config.update("jax_enable_x64", False)
+
+# Persistent-compilation-cache isolation: the on-chip tools share
+# /tmp/jaxcache (TPU-keyed entries, written through the tunnel). A suite
+# run that inherits JAX_COMPILATION_CACHE_DIR pointing there can abort the
+# whole process (SIGABRT in compilation_cache.get_executable_and_time) on a
+# corrupt/raced entry — observed 2026-08-18, test_policy_variants. Tests
+# get their own cache dir: still fast on re-runs, never racing the tools,
+# and deletable without losing the TPU cache.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache_cpu_tests")

@@ -163,24 +163,38 @@ def int8_matmul_res_ln(
     return res_out[:m, :n], ln_out[:m, :n]
 
 
-def int8_matmul_res_ln_ref(
-    x_q, w_q, requant_scale, bias_scaled, res_q, s_mid, s_res, s_out,
+def res_ln_epilogue_ref(
+    acc, requant_scale, bias_scaled, res_q, s_mid, s_res, s_out,
     ln_w, ln_b, ln_out_scale, ratio, qmin=-128, qmax=127,
 ):
-    """jnp twin: the exact two-step sequence this kernel fuses (same hoisted
-    reciprocal/vector forms, bit for bit)."""
-    from .matmul_int8 import int8_matmul_requant_res_ref
+    """Everything this kernel does AFTER its dot, on a raw int32 accumulator.
 
-    res_codes = int8_matmul_requant_res_ref(
-        x_q, w_q, requant_scale, bias_scaled, res_q, s_mid, s_res, s_out,
+    The row-parallel TP junction (parallel/tensor.py) computes per-device
+    partial int32 accumulators over its in-feature shard, ``psum``s them
+    across the "model" mesh axis, and then runs this — bitwise-identical to
+    the single-device fused kernel because int32 addition is exact (max
+    |acc| < 2^26 at ViT shapes) and the f32 chain below is the very code
+    ``int8_matmul_res_ln_ref`` runs (which the kernel-parity tests pin
+    against the Pallas kernel bit for bit).
+    """
+    n = acc.shape[-1]
+    mid = jnp.clip(
+        jnp.round(
+            acc.astype(jnp.float32) * requant_scale[None, :]
+            + bias_scaled[None, :]
+        ),
         qmin, qmax,
     )
-    n = w_q.shape[0]
+    bc = lambda v: jnp.broadcast_to(jnp.asarray(v, jnp.float32), (n,))[None, :]
+    val = mid * bc(s_mid) + res_q.astype(jnp.float32) * bc(s_res)
+    inv_s_out = 1.0 / jnp.maximum(bc(s_out), 1e-30)  # kernel's hoisted form
+    res_codes = jnp.clip(jnp.round(val * inv_s_out), qmin, qmax).astype(
+        jnp.int8
+    )
     s_out_v = jnp.broadcast_to(jnp.asarray(s_out, jnp.float32), (n,))
     s1 = s_out_v.min()
     mask = jnp.round(s_out_v / s1)
     x = res_codes.astype(jnp.float32) * mask
-    c = float(n)
     sx = x.sum(axis=1, keepdims=True)
     sxx = (x * x).sum(axis=1, keepdims=True)
     osc = jnp.maximum(
@@ -189,6 +203,23 @@ def int8_matmul_res_ln_ref(
     w_os = (jnp.asarray(ln_w, jnp.float32) / osc)[None, :]
     b_os = (jnp.asarray(ln_b, jnp.float32) / osc)[None, :]
     rat = jnp.broadcast_to(jnp.asarray(ratio, jnp.float32), (n,))[None, :]
-    y = ln_mn_chain(x, sx, sxx, s1, c, w_os, b_os)
+    y = ln_mn_chain(x, sx, sxx, s1, float(n), w_os, b_os)
     ln_codes = jnp.clip(jnp.round(y * rat), qmin, qmax).astype(jnp.int8)
     return res_codes, ln_codes
+
+
+def int8_matmul_res_ln_ref(
+    x_q, w_q, requant_scale, bias_scaled, res_q, s_mid, s_res, s_out,
+    ln_w, ln_b, ln_out_scale, ratio, qmin=-128, qmax=127,
+):
+    """jnp twin: the exact two-step sequence this kernel fuses (same hoisted
+    reciprocal/vector forms, bit for bit) — a full-K dot plus
+    ``res_ln_epilogue_ref``."""
+    acc = jax.lax.dot_general(
+        x_q, w_q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+    return res_ln_epilogue_ref(
+        acc, requant_scale, bias_scaled, res_q, s_mid, s_res, s_out,
+        ln_w, ln_b, ln_out_scale, ratio, qmin, qmax,
+    )

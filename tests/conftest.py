@@ -26,11 +26,12 @@ jax.config.update("jax_platforms", "cpu")
 
 jax.config.update("jax_enable_x64", False)
 
-# Persistent-compilation-cache isolation: the on-chip tools share
-# /tmp/jaxcache (TPU-keyed entries, written through the tunnel). A suite
-# run that inherits JAX_COMPILATION_CACHE_DIR pointing there can abort the
-# whole process (SIGABRT in compilation_cache.get_executable_and_time) on a
-# corrupt/raced entry — observed 2026-08-18, test_policy_variants. Tests
-# get their own cache dir: still fast on re-runs, never racing the tools,
-# and deletable without losing the TPU cache.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache_cpu_tests")
+# Persistent-compilation-cache: DISABLED for tests. Two whole-process
+# crashes in the cache layer on this box (SIGABRT in
+# get_executable_and_time on a shared dir, then SIGSEGV in
+# put_executable_and_time even on an isolated dir — both 2026-08-18,
+# test_policy_variants). The suite ran green for rounds 1-3 without a
+# persistent cache; re-run speed is not worth a flaky-crash suite. The
+# on-chip tools keep their own /tmp/jaxcache (different process, TPU keys).
+os.environ.pop("JAX_COMPILATION_CACHE_DIR", None)
+jax.config.update("jax_enable_compilation_cache", False)

@@ -251,6 +251,56 @@ def test_make_pipeline_mesh_requires_devices():
         pp.make_pipeline_mesh(len(jax.devices()) + 1)
 
 
+def test_tp_serving_matches_single_device(calibrated):
+    """Megatron-style TP int8 serving (parallel/tensor.py) on a 4×2
+    ("data","model") mesh: qkv/fc1 column-parallel (complete output
+    channels → unchanged per-channel requant), attention head-parallel,
+    proj/fc2 row-parallel with the psum on the RAW int32 accumulator
+    (exact: integer addition) before the shared requant+res+LN epilogue —
+    so logits are BITWISE equal to single-device serving_forward."""
+    from p2vit_tpu.parallel import tensor as ptensor
+
+    policy, params, x, calib = calibrated
+    sstate = serving.convert(
+        params, calib.qstate, TINY, policy, [8] * TINY.num_matmuls
+    )
+    single = np.asarray(
+        serving.serving_forward(sstate, TINY, x, use_pallas=False)
+    )
+
+    m = pmesh.make_mesh(8, model_parallel=2)
+    fn = ptensor.tp_serving_fn(sstate, TINY, m, use_pallas=False)
+    out = np.asarray(fn(x))
+    np.testing.assert_array_equal(out, single)
+
+    # uneven batch: 6 examples on a 4-wide data axis → pad + trim
+    out6 = np.asarray(fn(x[:6]))
+    assert out6.shape == single[:6].shape
+    np.testing.assert_array_equal(out6, single[:6])
+
+
+def test_tp_serving_pallas_kernels_in_shard(calibrated):
+    """The TP path must run the real Pallas kernels on each model shard
+    (local heads, sharded channels) — interpret mode on the CPU mesh, and
+    the head-aligned qkv permutation hands each device a valid local
+    fused-qkv weight. Bitwise vs the single-device Pallas program."""
+    from p2vit_tpu.parallel import tensor as ptensor
+
+    policy, params, x, calib = calibrated
+    sstate = serving.convert(
+        params, calib.qstate, TINY, policy, [8] * TINY.num_matmuls
+    )
+    single = np.asarray(
+        serving.serving_forward(sstate, TINY, x, use_pallas=True,
+                                interpret=True)
+    )
+
+    m = pmesh.make_mesh(8, model_parallel=2)
+    fn = ptensor.tp_serving_fn(sstate, TINY, m, use_pallas=True,
+                               interpret=True)
+    np.testing.assert_array_equal(np.asarray(fn(x)), single)
+
+
 def test_dp_generation_grad_matches_single_device(calibrated):
     """The data-free generation gradient (the framework's training-style
     step) under DP sharding: the KDE entropy term couples images across

@@ -135,12 +135,25 @@ def _embed_head_state(s) -> dict:
     return es
 
 
-def _tp_layer(heads_local: int, layer, h, xc, *, lis, use_pallas, interpret):
+def _tp_layer(heads_local: int, layer, h, xc, *, lis, use_pallas, interpret,
+              sp=False):
     """One encoder layer on codes, per model-shard (shard_map body helper).
 
     Mirrors serving.apply_unfused_layer's op order with the TP splits
-    described in the module docstring. ``h``/``xc`` are replicated along
-    "model" ((B_local, N, C) full-width codes)."""
+    described in the module docstring. ``h`` is replicated along "model"
+    ((B_local, N, C) full-width codes); ``xc`` is replicated too unless
+    ``sp`` (sequence-parallel epilogues), in which case it rides
+    ROW-SHARDED over "model" ((B_local·N/tp, C)) between layers.
+
+    ``sp`` is the megatron-SP analogue for the two row-parallel junctions:
+    the epilogue (requant + residual + int-LN) is row-independent, so
+    instead of ``psum``-ing the int32 accumulator and running the epilogue
+    replicated on every model shard, ``psum_scatter`` hands each device
+    1/tp of the rows (same exact integer reduction), the epilogue runs on
+    the shard (tp× less VPU work — the serving-critical resource,
+    BENCH.md), and the ``all_gather`` back to full rows moves int8 CODES —
+    4× fewer bytes than the int32 accumulator an all-reduce would move.
+    Identical values in, identical math per row: still bitwise."""
     (w_qkv, qr, qb, srq, sat, oro, w_proj, prr, prb, smid, sprev,
      sres1, ln2w, ln2b, ln2o, ln2r, w_fc1, f1r, f1b, f1inv, w_fc2,
      f2r, f2b, smid2, sres2, lnnw, lnnb, lnno, lnnr) = layer
@@ -150,6 +163,16 @@ def _tp_layer(heads_local: int, layer, h, xc, *, lis, use_pallas, interpret):
     c3l = w_qkv.shape[0]
     c_local = c3l // 3
     hd = c_local // heads_local
+
+    def _reduce(a):
+        if sp:
+            return jax.lax.psum_scatter(a, "model", scatter_dimension=0,
+                                        tiled=True)
+        return jax.lax.psum(a, "model")
+
+    def _rows(codes):
+        return (jax.lax.all_gather(codes, "model", axis=0, tiled=True)
+                if sp else codes)
 
     # qkv (column-parallel, complete channels) → head-local attention
     h2 = mm(h.reshape(-1, c), w_qkv, qr, qb, **mm_kw).reshape(b, n_tok, c3l)
@@ -172,35 +195,36 @@ def _tp_layer(heads_local: int, layer, h, xc, *, lis, use_pallas, interpret):
             .reshape(b, n_tok, c_local)
         )
 
-    # proj (row-parallel): partial int32 → psum → res+LN epilogue
+    # proj (row-parallel): partial int32 → reduce → res+LN epilogue
     acc = jax.lax.dot_general(
         attn.reshape(-1, c_local), w_proj, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32,
         precision=jax.lax.Precision.DEFAULT,
     )
-    acc = jax.lax.psum(acc, "model")
+    res1 = xc if sp else xc.reshape(-1, c)
     xc2, h1 = res_ln_epilogue_ref(
-        acc, prr, prb, xc.reshape(-1, c), smid, sprev, sres1,
+        _reduce(acc), prr, prb, res1, smid, sprev, sres1,
         ln2w, ln2b, ln2o, ln2r,
     )
 
     # fc1 (column-parallel, fused GELU) → fc2 (row-parallel)
-    hm = mm(h1, w_fc1, f1r, f1b, out_inv=f1inv, gelu=True, **mm_kw)
+    hm = mm(_rows(h1), w_fc1, f1r, f1b, out_inv=f1inv, gelu=True, **mm_kw)
     acc2 = jax.lax.dot_general(
         hm, w_fc2, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32,
         precision=jax.lax.Precision.DEFAULT,
     )
-    acc2 = jax.lax.psum(acc2, "model")
     xc3, h3 = res_ln_epilogue_ref(
-        acc2, f2r, f2b, xc2, smid2, sres1, sres2, lnnw, lnnb, lnno, lnnr,
+        _reduce(acc2), f2r, f2b, xc2, smid2, sres1, sres2,
+        lnnw, lnnb, lnno, lnnr,
     )
-    return h3.reshape(b, n_tok, c), xc3.reshape(b, n_tok, c)
+    h3 = _rows(h3).reshape(b, n_tok, c)
+    return h3, (xc3 if sp else xc3.reshape(b, n_tok, c))
 
 
 def tp_serving_fn(s, cfg: ViTConfig, mesh: Mesh, *, lis: bool = True,
                   use_pallas: bool = True, interpret: bool = False,
-                  fuse_embed: bool = True):
+                  fuse_embed: bool = True, seq_parallel: bool = False):
     """Per-batch callable: DP×TP int8 serving over a ("data", "model") mesh.
 
     Returns f32 logits bitwise-equal to single-device
@@ -208,6 +232,13 @@ def tp_serving_fn(s, cfg: ViTConfig, mesh: Mesh, *, lis: bool = True,
     The whole-layer and qkv-fused kernels take full-width weights; TP uses
     the four-kernel path, whose per-op parity with the fused paths is pinned
     separately (tests/test_serving.py).
+
+    ``seq_parallel`` additionally row-shards the two requant+res+LN
+    epilogues per layer over "model" (``psum_scatter`` the int32
+    accumulator, epilogue on the token shard, ``all_gather`` int8 codes) —
+    tp× less epilogue VPU work and ~half the collective bytes per
+    junction, still bitwise (see ``_tp_layer``). The residual codes stream
+    stays row-sharded across the whole encoder depth.
     """
     tp = mesh.shape["model"]
     c = cfg.embed_dim
@@ -233,10 +264,19 @@ def tp_serving_fn(s, cfg: ViTConfig, mesh: Mesh, *, lis: bool = True,
             es_, cfg, x, use_pallas=use_pallas, interpret=interpret,
             fuse_embed=fuse_embed,
         )
+        if seq_parallel:
+            # enter the row-sharded residual stream: device i of the
+            # "model" axis owns row block i (psum_scatter's block order)
+            xcf = xc.reshape(-1, c)
+            rows_per = xcf.shape[0] // tp
+            xc = jax.lax.dynamic_slice_in_dim(
+                xcf, jax.lax.axis_index("model") * rows_per, rows_per, 0
+            )
 
         def body(carry, layer):
             return _tp_layer(heads_local, layer, *carry, lis=lis,
-                             use_pallas=use_pallas, interpret=interpret), None
+                             use_pallas=use_pallas, interpret=interpret,
+                             sp=seq_parallel), None
 
         (h, xc), _ = jax.lax.scan(body, (h, xc), layers)
         return serving.head_logits(es_, h, use_pallas=use_pallas,
@@ -251,10 +291,14 @@ def tp_serving_fn(s, cfg: ViTConfig, mesh: Mesh, *, lis: bool = True,
     )
     jitted = jax.jit(sharded)
     nd = int(mesh.shape["data"])
+    # SP needs each data shard's token-row count divisible by tp; padding
+    # the batch to nd·tp multiples guarantees it for any sequence length
+    # (197 is prime — rows only factor through the local batch).
+    quantum = nd * tp if seq_parallel else nd
 
     def fn(x):
         b = x.shape[0]
-        pad = (-b) % nd
+        pad = (-b) % quantum
         if pad:  # eval loops yield a short final batch (dp_serving_fn's rule)
             x = jnp.concatenate(
                 [x, jnp.broadcast_to(x[-1:], (pad,) + x.shape[1:])], axis=0

@@ -135,6 +135,23 @@ def build_parser():
                         "fixed-wire-format premise)")
     p.add_argument("--pp-micro", default=2, type=int, metavar="M",
                    help="(with --pp) GPipe microbatches per eval batch")
+    p.add_argument("--tp", default=0, type=int, metavar="T",
+                   help="(with --serve, ViT/DeiT) megatron-style tensor-"
+                        "parallel serving over a T-wide 'model' mesh axis "
+                        "(parallel/tensor.py): qkv/fc1 column-parallel on "
+                        "the unmodified fused kernels, attention head-"
+                        "parallel, proj/fc2 row-parallel with the psum on "
+                        "the raw int32 accumulator — bitwise equal to "
+                        "single-device; num_heads and the MLP hidden width "
+                        "must divide by T. Composes with --dp (data axis); "
+                        "exclusive with --pp")
+    p.add_argument("--sp", action="store_true",
+                   help="(with --tp) sequence-parallel epilogues: "
+                        "psum_scatter the int32 accumulator over token "
+                        "rows, run the requant+res+LN epilogue on the "
+                        "shard (T x less VPU work), all_gather int8 codes "
+                        "(4x fewer collective bytes than the int32 "
+                        "all-reduce); still bitwise")
     return p
 
 
@@ -269,7 +286,10 @@ def main():
             pp_mesh = ppipe.make_pipeline_mesh(args.pp)
             print(f"serving pipeline-parallel over {args.pp} stages, "
                   f"{args.pp_micro} microbatches")
-    if args.dp and args.dp > 1:
+    tp_active = (args.tp and args.tp > 1 and args.quant and args.serve
+                 and not is_swin and pp_mesh is None
+                 and cfg.num_heads % args.tp == 0)
+    if args.dp and args.dp > 1 and not tp_active:
         if args.quant and args.serve:
             from p2vit_tpu.parallel import mesh as pmesh
 
@@ -277,6 +297,31 @@ def main():
             print(f"serving data-parallel over {args.dp} devices")
         else:
             print("--dp needs --quant --serve; ignoring")
+    tp_mesh = None
+    if args.tp and args.tp > 1:
+        if not (args.quant and args.serve):
+            print("--tp needs --quant --serve; ignoring")
+        elif is_swin:
+            print("--tp is ViT/DeiT-only (parallel/tensor.py shards the "
+                  "isotropic encoder); ignoring")
+        elif pp_mesh is not None:
+            print("--tp and --pp are mutually exclusive; using --pp")
+        elif cfg.num_heads % args.tp:
+            print(f"--tp {args.tp} does not divide {args.model}'s "
+                  f"{cfg.num_heads} heads (try "
+                  f"{[t for t in range(2, cfg.num_heads + 1) if cfg.num_heads % t == 0]}); "
+                  "ignoring")
+        else:
+            from p2vit_tpu.parallel import mesh as pmesh
+
+            dp = args.dp if args.dp and args.dp > 1 else 1
+            tp_mesh = pmesh.make_mesh(dp * args.tp, model_parallel=args.tp)
+            dp_mesh = None  # the data axis lives in the same 2-D mesh
+            print(f"serving tensor-parallel over {args.tp} model shards"
+                  + (f" x {dp} data shards" if dp > 1 else "")
+                  + (" with sequence-parallel epilogues" if args.sp else ""))
+    if args.sp and tp_mesh is None:
+        print("--sp needs an active --tp; ignoring")
 
     if args.quant and is_swin and args.serve:
         from p2vit_tpu import serving_swin
@@ -333,6 +378,13 @@ def main():
                         s, cfg, pp_mesh, n_micro=args.pp_micro,
                         lis=policy.int_softmax, use_pallas=True,
                         interpret=not on_accel,
+                    )
+                elif tp_mesh is not None:
+                    from p2vit_tpu.parallel import tensor as ptensor
+
+                    fwd = ptensor.tp_serving_fn(
+                        s, cfg, tp_mesh, lis=policy.int_softmax,
+                        use_pallas=on_accel, seq_parallel=args.sp,
                     )
                 else:
                     if dp_mesh is not None:

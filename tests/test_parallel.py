@@ -301,6 +301,30 @@ def test_tp_serving_pallas_kernels_in_shard(calibrated):
     np.testing.assert_array_equal(np.asarray(fn(x)), single)
 
 
+def test_tp_seq_parallel_serving_bitwise(calibrated):
+    """Sequence-parallel epilogues (tp_serving_fn(seq_parallel=True)): the
+    row-parallel junctions psum_scatter the int32 accumulator over token
+    rows, run the requant+res+LN epilogue on the shard, and all_gather the
+    int8 codes; the residual stream stays row-sharded across the depth.
+    Same integer reduction, same per-row math — bitwise vs single-device,
+    including a short batch that exercises the nd·tp padding quantum."""
+    from p2vit_tpu.parallel import tensor as ptensor
+
+    policy, params, x, calib = calibrated
+    sstate = serving.convert(
+        params, calib.qstate, TINY, policy, [8] * TINY.num_matmuls
+    )
+    single = np.asarray(
+        serving.serving_forward(sstate, TINY, x, use_pallas=False)
+    )
+
+    m = pmesh.make_mesh(8, model_parallel=2)
+    fn = ptensor.tp_serving_fn(sstate, TINY, m, use_pallas=False,
+                               seq_parallel=True)
+    np.testing.assert_array_equal(np.asarray(fn(x)), single)
+    np.testing.assert_array_equal(np.asarray(fn(x[:5])), single[:5])
+
+
 def test_dp_generation_grad_matches_single_device(calibrated):
     """The data-free generation gradient (the framework's training-style
     step) under DP sharding: the KDE entropy term couples images across

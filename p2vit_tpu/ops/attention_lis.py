@@ -405,28 +405,33 @@ def lis_attention_qkv_fused(
     on-chip A/B; bit-identical by construction, asserted in tests).
 
     Args:
-      h_q: (B, N, C) int8 codes of the attention input (qact0 node).
-      w_q: (3C, C) int8 qkv weight codes.
-      requant_vec: (3C,) f32 = s_act·s_w[n]/s_qact1.
-      bias_vec: (3C,) f32 = bias/s_qact1.
+      h_q: (B, N, C_in) int8 codes of the attention input (qact0 node).
+      w_q: (3·C_out, C_in) int8 qkv weight codes. C_out == C_in on a single
+        device; a tensor-parallel shard (parallel/tensor.py) passes the
+        head-aligned local weight with C_out = C_in/tp and its local
+        num_heads — the kernel only uses the output width for the per-head
+        slicing, so the sharded call is the identical program.
+      requant_vec: (3·C_out,) f32 = s_act·s_w[n]/s_qact1.
+      bias_vec: (3·C_out,) f32 = bias/s_qact1.
       score_requant/attn_scale/out_requant: as in lis_attention_fused but
         score_requant is built from s_qact1 like there.
-    Returns (B, N, C) int8 codes of the qact2 node.
+    Returns (B, N, C_out) int8 codes of the qact2 node.
     """
-    b, n, c = h_q.shape
+    b, n, c_in = h_q.shape
+    c = w_q.shape[0] // 3  # output width
     d = c // num_heads
-    assert w_q.shape == (3 * c, c)
+    assert w_q.shape == (3 * c, c_in)
     assert d % 128 == 0 or 128 % d == 0, f"head_dim {d} vs lane width"
     g = images_per_step
     npad = (-n) % 32
     h_p = jnp.pad(h_q, ((0, 0), (0, npad), (0, 0))) if npad else h_q
     nfull = n + npad
     # zero-pad the contraction dim to the lane tile (exact: 0·w adds 0)
-    kpad = (-c) % 128
+    kpad = (-c_in) % 128
     if kpad:
         h_p = jnp.pad(h_p, ((0, 0), (0, 0), (0, kpad)))
         w_q = jnp.pad(w_q, ((0, 0), (0, kpad)))
-    kfull = c + kpad
+    kfull = c_in + kpad
     bpad = (-b) % g
     if bpad:
         h_p = jnp.pad(h_p, ((0, bpad), (0, 0), (0, 0)))

@@ -320,30 +320,6 @@ def int4_matmul_requant(
     return out[:m, :n]
 
 
-def int8_matmul_requant_res_ref(
-    x_q, w_q, requant_scale, bias_scaled, res_q, s_mid, s_res, s_out,
-    qmin=-128, qmax=127,
-):
-    """Matmul + requant-to-mid + fused residual add, jnp form.
-
-    The two-step spec that ops/matmul_ln.py's res+LN kernel fuses (its
-    _ref twin calls this); the standalone Pallas version was superseded
-    by that deeper fusion and removed."""
-    n = w_q.shape[0]
-    acc = jax.lax.dot_general(
-        x_q, w_q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32,
-        precision=jax.lax.Precision.DEFAULT,
-    )
-    mid = jnp.clip(
-        jnp.round(acc.astype(jnp.float32) * requant_scale[None, :] + bias_scaled[None, :]),
-        qmin, qmax,
-    )
-    bc = lambda v: jnp.broadcast_to(jnp.asarray(v, jnp.float32), (n,))[None, :]
-    val = mid * bc(s_mid) + res_q.astype(jnp.float32) * bc(s_res)
-    inv_s_out = 1.0 / jnp.maximum(bc(s_out), 1e-30)  # kernel's hoisted form
-    return jnp.clip(jnp.round(val * inv_s_out), qmin, qmax).astype(jnp.int8)
-
-
 def int8_matmul_requant_ref(
     x_q, w_q, requant_scale, bias_scaled, out_inv=1.0, qmin=-128, qmax=127,
     gelu=False,

@@ -38,18 +38,20 @@ epilogue, TP logits are BITWISE equal to single-device
 
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .. import serving
 from ..models.common import ViTConfig
 from . import mesh as mesh_mod
-from ..ops.attention_lis import lis_attention_fused, lis_attention_ref
+from ..ops.attention_lis import (
+    lis_attention_fused,
+    lis_attention_qkv_fused,
+    lis_attention_ref,
+)
 from ..ops.matmul_int8 import int8_matmul_requant, int8_matmul_requant_ref
 from ..ops.matmul_ln import res_ln_epilogue_ref
 
@@ -136,7 +138,7 @@ def _embed_head_state(s) -> dict:
 
 
 def _tp_layer(heads_local: int, layer, h, xc, *, lis, use_pallas, interpret,
-              sp=False):
+              sp=False, fuse_qkv=True):
     """One encoder layer on codes, per model-shard (shard_map body helper).
 
     Mirrors serving.apply_unfused_layer's op order with the TP splits
@@ -174,12 +176,25 @@ def _tp_layer(heads_local: int, layer, h, xc, *, lis, use_pallas, interpret,
         return (jax.lax.all_gather(codes, "model", axis=0, tiled=True)
                 if sp else codes)
 
-    # qkv (column-parallel, complete channels) → head-local attention
-    h2 = mm(h.reshape(-1, c), w_qkv, qr, qb, **mm_kw).reshape(b, n_tok, c3l)
-    if use_pallas:
+    # qkv (column-parallel, complete channels) → head-local attention.
+    # The qkv-fused kernel shards cleanly: the head-aligned permutation
+    # makes the local (3C/tp, C) weight a valid fused-qkv weight at
+    # heads_local heads, so the production kernel runs unmodified.
+    if use_pallas and fuse_qkv:
+        attn = lis_attention_qkv_fused(
+            h, w_qkv, qr, qb, heads_local, srq, sat, oro, lis=lis,
+            interpret=interpret,
+        )
+    elif use_pallas:
+        h2 = mm(h.reshape(-1, c), w_qkv, qr, qb, **mm_kw).reshape(
+            b, n_tok, c3l
+        )
         attn = lis_attention_fused(h2, heads_local, srq, sat, oro, lis=lis,
                                    interpret=interpret)
     else:
+        h2 = mm(h.reshape(-1, c), w_qkv, qr, qb, **mm_kw).reshape(
+            b, n_tok, c3l
+        )
         qkv_c = h2.reshape(b, n_tok, 3, heads_local, hd).transpose(
             2, 0, 3, 1, 4
         )
@@ -224,14 +239,16 @@ def _tp_layer(heads_local: int, layer, h, xc, *, lis, use_pallas, interpret,
 
 def tp_serving_fn(s, cfg: ViTConfig, mesh: Mesh, *, lis: bool = True,
                   use_pallas: bool = True, interpret: bool = False,
-                  fuse_embed: bool = True, seq_parallel: bool = False):
+                  fuse_embed: bool = True, fuse_qkv: bool = True,
+                  seq_parallel: bool = False):
     """Per-batch callable: DP×TP int8 serving over a ("data", "model") mesh.
 
     Returns f32 logits bitwise-equal to single-device
-    ``serving.serving_forward(..., fuse_qkv=False)`` (tests/test_parallel.py).
-    The whole-layer and qkv-fused kernels take full-width weights; TP uses
-    the four-kernel path, whose per-op parity with the fused paths is pinned
-    separately (tests/test_serving.py).
+    ``serving.serving_forward`` (tests/test_parallel.py). ``fuse_qkv``
+    runs the production qkv-fused attention kernel per shard (the
+    head-aligned permutation makes the local weight a valid fused-qkv
+    weight — same default as single-device serving); the whole-layer
+    kernel takes full-width weights and stays single-device-only.
 
     ``seq_parallel`` additionally row-shards the two requant+res+LN
     epilogues per layer over "model" (``psum_scatter`` the int32
@@ -256,8 +273,15 @@ def tp_serving_fn(s, cfg: ViTConfig, mesh: Mesh, *, lis: bool = True,
     consts[0] = consts[0][:, perm, :]
     consts[1] = consts[1][:, perm]
     consts[2] = consts[2][:, perm]
-    consts = tuple(consts)
-    es = _embed_head_state(s)
+    # Distribute the state ONCE, here — not per batch: without explicit
+    # device_puts the jitted call would re-shard every layer constant from
+    # the default device on EVERY fn() invocation (ViT-L: ~300 MB/batch of
+    # host-side resharding on the serving hot path).
+    consts = tuple(
+        jax.device_put(c_, NamedSharding(mesh, spec))
+        for c_, spec in zip(consts, _LAYER_SPECS)
+    )
+    es = jax.device_put(_embed_head_state(s), NamedSharding(mesh, P()))
 
     def run(es_, layers, x):
         h, xc = serving.embed_codes(
@@ -276,7 +300,7 @@ def tp_serving_fn(s, cfg: ViTConfig, mesh: Mesh, *, lis: bool = True,
         def body(carry, layer):
             return _tp_layer(heads_local, layer, *carry, lis=lis,
                              use_pallas=use_pallas, interpret=interpret,
-                             sp=seq_parallel), None
+                             sp=seq_parallel, fuse_qkv=fuse_qkv), None
 
         (h, xc), _ = jax.lax.scan(body, (h, xc), layers)
         return serving.head_logits(es_, h, use_pallas=use_pallas,

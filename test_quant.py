@@ -286,17 +286,6 @@ def main():
             pp_mesh = ppipe.make_pipeline_mesh(args.pp)
             print(f"serving pipeline-parallel over {args.pp} stages, "
                   f"{args.pp_micro} microbatches")
-    tp_active = (args.tp and args.tp > 1 and args.quant and args.serve
-                 and not is_swin and pp_mesh is None
-                 and cfg.num_heads % args.tp == 0)
-    if args.dp and args.dp > 1 and not tp_active:
-        if args.quant and args.serve:
-            from p2vit_tpu.parallel import mesh as pmesh
-
-            dp_mesh = pmesh.make_mesh(args.dp, model_parallel=1)
-            print(f"serving data-parallel over {args.dp} devices")
-        else:
-            print("--dp needs --quant --serve; ignoring")
     tp_mesh = None
     if args.tp and args.tp > 1:
         if not (args.quant and args.serve):
@@ -311,17 +300,27 @@ def main():
                   f"{cfg.num_heads} heads (try "
                   f"{[t for t in range(2, cfg.num_heads + 1) if cfg.num_heads % t == 0]}); "
                   "ignoring")
+        elif cfg.hidden_dim % args.tp:
+            print(f"--tp {args.tp} does not divide the MLP hidden width "
+                  f"{cfg.hidden_dim}; ignoring")
         else:
             from p2vit_tpu.parallel import mesh as pmesh
 
             dp = args.dp if args.dp and args.dp > 1 else 1
             tp_mesh = pmesh.make_mesh(dp * args.tp, model_parallel=args.tp)
-            dp_mesh = None  # the data axis lives in the same 2-D mesh
             print(f"serving tensor-parallel over {args.tp} model shards"
                   + (f" x {dp} data shards" if dp > 1 else "")
                   + (" with sequence-parallel epilogues" if args.sp else ""))
     if args.sp and tp_mesh is None:
         print("--sp needs an active --tp; ignoring")
+    if args.dp and args.dp > 1 and tp_mesh is None:
+        if args.quant and args.serve:
+            from p2vit_tpu.parallel import mesh as pmesh
+
+            dp_mesh = pmesh.make_mesh(args.dp, model_parallel=1)
+            print(f"serving data-parallel over {args.dp} devices")
+        else:
+            print("--dp needs --quant --serve; ignoring")
 
     if args.quant and is_swin and args.serve:
         from p2vit_tpu import serving_swin

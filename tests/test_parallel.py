@@ -278,6 +278,17 @@ def test_tp_serving_matches_single_device(calibrated):
     assert out6.shape == single[:6].shape
     np.testing.assert_array_equal(out6, single[:6])
 
+    # W4: weight codes are int4-valued int8 through the same kernels —
+    # the TP splits are bit-width-agnostic
+    s4 = serving.convert(
+        params, calib.qstate, TINY, policy, [4] * TINY.num_matmuls
+    )
+    single4 = np.asarray(
+        serving.serving_forward(s4, TINY, x, use_pallas=False)
+    )
+    fn4 = ptensor.tp_serving_fn(s4, TINY, m, use_pallas=False)
+    np.testing.assert_array_equal(np.asarray(fn4(x)), single4)
+
 
 def test_tp_serving_pallas_kernels_in_shard(calibrated):
     """The TP path must run the real Pallas kernels on each model shard
@@ -296,9 +307,10 @@ def test_tp_serving_pallas_kernels_in_shard(calibrated):
     )
 
     m = pmesh.make_mesh(8, model_parallel=2)
-    fn = ptensor.tp_serving_fn(sstate, TINY, m, use_pallas=True,
-                               interpret=True)
-    np.testing.assert_array_equal(np.asarray(fn(x)), single)
+    for fq in (True, False):  # qkv-fused kernel per shard / four-kernel path
+        fn = ptensor.tp_serving_fn(sstate, TINY, m, use_pallas=True,
+                                   interpret=True, fuse_qkv=fq)
+        np.testing.assert_array_equal(np.asarray(fn(x)), single)
 
 
 def test_tp_seq_parallel_serving_bitwise(calibrated):

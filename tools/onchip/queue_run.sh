@@ -36,3 +36,7 @@ echo "zoo_bench rc=$?" >> /tmp/zoo_bench.log
 echo "=== search_bench $(date) ===" > /tmp/search_bench.log
 timeout 5400 python tools/search_bench.py >> /tmp/search_bench.log 2>&1
 echo "search_bench rc=$?" >> /tmp/search_bench.log
+
+echo "=== tp_kernel_check $(date) ===" > /tmp/tp_kernel_check.log
+timeout 1800 python tools/tp_kernel_check.py >> /tmp/tp_kernel_check.log 2>&1
+echo "tp_kernel_check rc=$?" >> /tmp/tp_kernel_check.log

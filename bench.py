@@ -236,6 +236,34 @@ def main():
         except Exception as e:  # pragma: no cover - hardware dependent
             res["deit_base_lis_on_img_s"] = f"unavailable: {type(e).__name__}"
 
+    # batch-1 serving latency (guarded, accelerator-only): the latency-
+    # regime metric — what a single request pays, and the single-chip
+    # anchor any TP latency-scaling claim must divide (parallel/tensor.py;
+    # multi-chip itself is unmeasurable on one chip). iters=200: at ~1 ms/
+    # forward the ~30 ms tunnel fixed cost needs more amortizing than the
+    # batch-256 runs (BENCH.md §methodology).
+    if on_accel:
+        try:
+            from p2vit_tpu import serving as _srv
+
+            x1 = x[:1]
+            t1 = _time_fn(
+                lambda xx, s: _srv.serving_forward(s, cfg, xx,
+                                                   use_pallas=True),
+                x1, sstate, iters=200)
+            pb16 = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
+            t1_fp = _time_fn(
+                lambda xx, p: vit.fp_forward(p, cfg,
+                                             xx.astype(jnp.bfloat16)),
+                x1, pb16, iters=200)
+            res["deit_small_b1_latency_ms"] = round(t1 * 1e3, 3)
+            res["deit_small_b1_bf16_latency_ms"] = round(t1_fp * 1e3, 3)
+            res["deit_small_b1_vs_baseline"] = round(t1_fp / t1, 4)
+        except Exception as e:  # pragma: no cover - hardware dependent
+            res["deit_small_b1_latency_ms"] = (
+                f"unavailable: {type(e).__name__}"
+            )
+
     # calibration latency (guarded): the full PTQ solve — stats, 4-candidate
     # PoT searches, PTF masks, smoothquant α/per-bit caches — as ONE jitted
     # program on the reference's default 100-image batch, best-of-4

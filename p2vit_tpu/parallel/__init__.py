@@ -5,3 +5,8 @@ from .mesh import (
     shard_batch,
     sharded_minmax_stats,
 )
+
+# pipeline (GPipe PP) and tensor (megatron TP/SP serving) are deliberately
+# NOT imported here: they pull the serving/ops stack (Pallas kernels) into
+# what is otherwise a lightweight mesh-utilities import. Use
+# `from p2vit_tpu.parallel import pipeline` / `import tensor` directly.

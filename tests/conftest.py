@@ -26,12 +26,15 @@ jax.config.update("jax_platforms", "cpu")
 
 jax.config.update("jax_enable_x64", False)
 
-# Persistent-compilation-cache: DISABLED for tests. Two whole-process
-# crashes in the cache layer on this box (SIGABRT in
-# get_executable_and_time on a shared dir, then SIGSEGV in
-# put_executable_and_time even on an isolated dir — both 2026-08-18,
-# test_policy_variants). The suite ran green for rounds 1-3 without a
-# persistent cache; re-run speed is not worth a flaky-crash suite. The
-# on-chip tools keep their own /tmp/jaxcache (different process, TPU keys).
+# Persistent-compilation-cache: DISABLED for tests. The 2026-08-18 suite
+# crashes first blamed on it turned out to be an XLA:CPU bug independent
+# of the cache (SIGSEGV in backend_compile_and_load with the cache fully
+# off — same test, test_policy_variants, after ~100 prior in-process
+# compiles; passes in isolation; see CLAUDE.md: the suite is now sharded
+# over xdist workers for exactly this reason). Keeping the cache off
+# anyway: 4 loadfile workers sharing a cache dir is a write race, and the
+# old /tmp/jaxcache entries carry pre-migration CPU features this host
+# rejects ("could lead to SIGILL" AOT loader warnings). The on-chip tools
+# keep their own /tmp/jaxcache (different process, TPU keys).
 os.environ.pop("JAX_COMPILATION_CACHE_DIR", None)
 jax.config.update("jax_enable_compilation_cache", False)

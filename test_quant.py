@@ -155,6 +155,69 @@ def build_parser():
     return p
 
 
+def build_parallel_meshes(args, cfg, is_swin):
+    """Resolve the --dp/--pp/--tp/--sp flags into at most ONE active mesh.
+
+    Returns (dp_mesh, pp_mesh, tp_mesh); precedence pp > tp > dp, every
+    rejected flag prints a one-line reason instead of raising mid-eval.
+    Factored out of main() so the precedence/divisibility matrix is unit-
+    testable (tests/test_pipeline.py::test_build_parallel_meshes)."""
+    dp_mesh = None
+    pp_mesh = None
+    if args.pp and args.pp > 1:
+        if not (args.quant and args.serve):
+            print("--pp needs --quant --serve; ignoring")
+        elif is_swin:
+            print("--pp is ViT/DeiT-only (DESIGN.md: Swin's token pyramid "
+                  "breaks the PP wire format); ignoring")
+        elif args.dp and args.dp > 1:
+            print("--pp and --dp are mutually exclusive (1-D meshes); "
+                  "using --pp")
+            args.dp = 0
+        if args.quant and args.serve and not is_swin and args.pp > 1:
+            from p2vit_tpu.parallel import pipeline as ppipe
+
+            pp_mesh = ppipe.make_pipeline_mesh(args.pp)
+            print(f"serving pipeline-parallel over {args.pp} stages, "
+                  f"{args.pp_micro} microbatches")
+    tp_mesh = None
+    if args.tp and args.tp > 1:
+        if not (args.quant and args.serve):
+            print("--tp needs --quant --serve; ignoring")
+        elif is_swin:
+            print("--tp is ViT/DeiT-only (parallel/tensor.py shards the "
+                  "isotropic encoder); ignoring")
+        elif pp_mesh is not None:
+            print("--tp and --pp are mutually exclusive; using --pp")
+        elif cfg.num_heads % args.tp:
+            print(f"--tp {args.tp} does not divide {args.model}'s "
+                  f"{cfg.num_heads} heads (try "
+                  f"{[t for t in range(2, cfg.num_heads + 1) if cfg.num_heads % t == 0]}); "
+                  "ignoring")
+        elif cfg.hidden_dim % args.tp:
+            print(f"--tp {args.tp} does not divide the MLP hidden width "
+                  f"{cfg.hidden_dim}; ignoring")
+        else:
+            from p2vit_tpu.parallel import mesh as pmesh
+
+            dp = args.dp if args.dp and args.dp > 1 else 1
+            tp_mesh = pmesh.make_mesh(dp * args.tp, model_parallel=args.tp)
+            print(f"serving tensor-parallel over {args.tp} model shards"
+                  + (f" x {dp} data shards" if dp > 1 else "")
+                  + (" with sequence-parallel epilogues" if args.sp else ""))
+    if args.sp and tp_mesh is None:
+        print("--sp needs an active --tp; ignoring")
+    if args.dp and args.dp > 1 and tp_mesh is None:
+        if args.quant and args.serve:
+            from p2vit_tpu.parallel import mesh as pmesh
+
+            dp_mesh = pmesh.make_mesh(args.dp, model_parallel=1)
+            print(f"serving data-parallel over {args.dp} devices")
+        else:
+            print("--dp needs --quant --serve; ignoring")
+    return dp_mesh, pp_mesh, tp_mesh
+
+
 def accuracy(logits, target, topk=(1,)):
     """top-k accuracy in percent (test_quant.py:549-562)."""
     logits = np.asarray(logits)
@@ -268,59 +331,11 @@ def main():
         print("--u8-ingest needs --quant --serve; ignoring")
     val = make_dataset("val", raw=u8)
 
-    dp_mesh = None
-    pp_mesh = None
-    if args.pp and args.pp > 1:
-        if not (args.quant and args.serve):
-            print("--pp needs --quant --serve; ignoring")
-        elif is_swin:
-            print("--pp is ViT/DeiT-only (DESIGN.md: Swin's token pyramid "
-                  "breaks the PP wire format); ignoring")
-        elif args.dp and args.dp > 1:
-            print("--pp and --dp are mutually exclusive (1-D meshes); "
-                  "using --pp")
-            args.dp = 0
-        if args.quant and args.serve and not is_swin and args.pp > 1:
-            from p2vit_tpu.parallel import pipeline as ppipe
-
-            pp_mesh = ppipe.make_pipeline_mesh(args.pp)
-            print(f"serving pipeline-parallel over {args.pp} stages, "
-                  f"{args.pp_micro} microbatches")
-    tp_mesh = None
-    if args.tp and args.tp > 1:
-        if not (args.quant and args.serve):
-            print("--tp needs --quant --serve; ignoring")
-        elif is_swin:
-            print("--tp is ViT/DeiT-only (parallel/tensor.py shards the "
-                  "isotropic encoder); ignoring")
-        elif pp_mesh is not None:
-            print("--tp and --pp are mutually exclusive; using --pp")
-        elif cfg.num_heads % args.tp:
-            print(f"--tp {args.tp} does not divide {args.model}'s "
-                  f"{cfg.num_heads} heads (try "
-                  f"{[t for t in range(2, cfg.num_heads + 1) if cfg.num_heads % t == 0]}); "
-                  "ignoring")
-        elif cfg.hidden_dim % args.tp:
-            print(f"--tp {args.tp} does not divide the MLP hidden width "
-                  f"{cfg.hidden_dim}; ignoring")
-        else:
-            from p2vit_tpu.parallel import mesh as pmesh
-
-            dp = args.dp if args.dp and args.dp > 1 else 1
-            tp_mesh = pmesh.make_mesh(dp * args.tp, model_parallel=args.tp)
-            print(f"serving tensor-parallel over {args.tp} model shards"
-                  + (f" x {dp} data shards" if dp > 1 else "")
-                  + (" with sequence-parallel epilogues" if args.sp else ""))
-    if args.sp and tp_mesh is None:
-        print("--sp needs an active --tp; ignoring")
-    if args.dp and args.dp > 1 and tp_mesh is None:
-        if args.quant and args.serve:
-            from p2vit_tpu.parallel import mesh as pmesh
-
-            dp_mesh = pmesh.make_mesh(args.dp, model_parallel=1)
-            print(f"serving data-parallel over {args.dp} devices")
-        else:
-            print("--dp needs --quant --serve; ignoring")
+    dp_mesh, pp_mesh, tp_mesh = build_parallel_meshes(args, cfg, is_swin)
+    if dp_mesh is not None:
+        from p2vit_tpu.parallel import mesh as pmesh
+    if pp_mesh is not None:
+        from p2vit_tpu.parallel import pipeline as ppipe
 
     if args.quant and is_swin and args.serve:
         from p2vit_tpu import serving_swin

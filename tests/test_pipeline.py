@@ -268,6 +268,56 @@ def test_cli_bool_flags():
     assert pol.int_norm is False and pol.int_softmax is False
 
 
+def test_build_parallel_meshes():
+    """The --dp/--pp/--tp/--sp precedence + divisibility matrix resolves to
+    at most ONE active mesh, rejecting (not raising) every invalid combo —
+    the drift the round-4 review flagged when the gating lived inline."""
+    import importlib.util
+    import os as _os
+
+    spec = importlib.util.spec_from_file_location(
+        "p2vit_cli2",
+        _os.path.join(_os.path.dirname(__file__), "..", "test_quant.py"),
+    )
+    cli = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cli)
+    parser = cli.build_parser()
+    cfg = ViTConfig(img_size=32, patch_size=8, num_classes=10, embed_dim=16,
+                    depth=2, num_heads=2)
+
+    def resolve(extra, is_swin=False, quant_serve=True):
+        argv = ["deit_tiny", "/tmp/none"]
+        if quant_serve:
+            argv += ["--quant", "--serve"]
+        args = parser.parse_args(argv + extra)
+        return cli.build_parallel_meshes(args, cfg, is_swin)
+
+    assert resolve([]) == (None, None, None)
+
+    dp, pp, tp = resolve(["--dp", "4"])
+    assert dp is not None and dict(dp.shape) == {"data": 4, "model": 1}
+    assert pp is None and tp is None
+
+    dp, pp, tp = resolve(["--pp", "2", "--dp", "4"])  # pp wins over dp
+    assert pp is not None and dp is None and tp is None
+
+    dp, pp, tp = resolve(["--tp", "2", "--dp", "2", "--sp"])
+    assert tp is not None and dict(tp.shape) == {"data": 2, "model": 2}
+    assert dp is None and pp is None
+
+    dp, pp, tp = resolve(["--tp", "2", "--pp", "2"])  # pp wins over tp
+    assert pp is not None and tp is None
+
+    # divisibility rejections fall back gracefully (heads=2: tp=4 invalid)
+    dp, pp, tp = resolve(["--tp", "4", "--dp", "2"])
+    assert tp is None and dp is not None
+
+    # family/flag gating
+    assert resolve(["--tp", "2"], is_swin=True) == (None, None, None)
+    assert resolve(["--dp", "4"], quant_serve=False) == (None, None, None)
+    assert resolve(["--tp", "2"], quant_serve=False) == (None, None, None)
+
+
 def test_datafree_generation(tiny_model):
     from p2vit_tpu.datafree import generate_data
 

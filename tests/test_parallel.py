@@ -289,6 +289,17 @@ def test_tp_serving_matches_single_device(calibrated):
     fn4 = ptensor.tp_serving_fn(s4, TINY, m, use_pallas=False)
     np.testing.assert_array_equal(np.asarray(fn4(x)), single4)
 
+    # RAW uint8 ingestion rides the TP shard_map unchanged (the "u8"
+    # constants live in the replicated embed/head slice)
+    serving.attach_u8_ingest(sstate)
+    xu8 = jax.random.randint(jax.random.PRNGKey(5), x.shape, 0, 256,
+                             dtype=jnp.uint8)
+    single_u8 = np.asarray(
+        serving.serving_forward(sstate, TINY, xu8, use_pallas=False)
+    )
+    fnu8 = ptensor.tp_serving_fn(sstate, TINY, m, use_pallas=False)
+    np.testing.assert_array_equal(np.asarray(fnu8(xu8)), single_u8)
+
 
 def test_tp_serving_pallas_kernels_in_shard(calibrated):
     """The TP path must run the real Pallas kernels on each model shard

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 
-def require_tpu(max_wait_s: float = 120.0) -> None:
+def require_tpu(max_wait_s: float = 240.0) -> None:
     """Fail FAST when the axon tunnel is dead instead of hanging forever.
 
     The axon plugin initializes its tunnel client inside ``jax.devices()``;
@@ -40,6 +40,10 @@ def require_tpu(max_wait_s: float = 120.0) -> None:
     (parent import state untouched) and ``sys.exit``s on failure. No-op
     when the caller explicitly requested CPU (JAX_PLATFORMS=cpu — the
     tests' smoke path).
+
+    A healthy-but-cold probe measures ~50-60 s (fresh process + first eager
+    compile through the tunnel), so the window must fit at least two cold
+    attempts — 120 s proved too tight in practice (2026-08-19).
     """
     import os
     import subprocess

@@ -7,7 +7,10 @@
 cd "$(dirname "$0")/../.." || exit 2
 
 echo "=== bench.py $(date) ===" > /tmp/bench_r4.log
-P2VIT_BENCH_TUNNEL_WAIT_S=60 timeout 5400 python bench.py >> /tmp/bench_r4.log 2>&1
+# 60 s was too tight: ONE probe attempt (fresh process + cold eager compile
+# through the tunnel) measures ~50-60 s, so a single slow-but-alive attempt
+# consumed the whole window and fell back to CPU while the chip was fine.
+P2VIT_BENCH_TUNNEL_WAIT_S=600 timeout 5400 python bench.py >> /tmp/bench_r4.log 2>&1
 echo "bench rc=$?" >> /tmp/bench_r4.log
 
 echo "=== dtpack_ab $(date) ===" > /tmp/dtpack_ab.log

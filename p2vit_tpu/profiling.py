@@ -51,6 +51,14 @@ def require_tpu(max_wait_s: float = 240.0) -> None:
 
     if os.environ.get("JAX_PLATFORMS", "").split(",")[0] == "cpu":
         return
+    # Queue runs override the window via env: right after a heavy client
+    # disconnects, the tunnel can refuse/starve new probes for several
+    # minutes while staying healthy (measured 2026-08-19: ab_tpu's probe
+    # failed for a full 240 s window at 09:55, the very next tool's probe
+    # succeeded at 09:59), so back-to-back tools need a wider window.
+    env_wait = os.environ.get("P2VIT_REQUIRE_TPU_WAIT_S")
+    if env_wait:
+        max_wait_s = float(env_wait)
     deadline = time.monotonic() + max_wait_s
     while True:
         try:

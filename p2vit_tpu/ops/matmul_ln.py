@@ -30,7 +30,7 @@ from .intln import ln_mn_chain
 
 
 def _kernel(s1_ref, x_ref, w_ref, rb_ref, res_ref, vec_ref, res_o_ref,
-            ln_o_ref, *, qmin, qmax, c_true):
+            ln_o_ref, *, qmin, qmax, c_true, bypass_vpu=False):
     s1 = s1_ref[0, 0]
     acc = jax.lax.dot_general(
         x_ref[:],
@@ -43,11 +43,24 @@ def _kernel(s1_ref, x_ref, w_ref, rb_ref, res_ref, vec_ref, res_o_ref,
     )
     r = rb_ref[0, :][None, :]
     b = rb_ref[1, :][None, :]
+    # mid-node codes (round/clip is load-bearing for parity)
+    mid = jnp.clip(jnp.round(acc.astype(jnp.float32) * r + b), qmin, qmax)
+    if bypass_vpu:
+        # TIMING-ONLY probe (wrong values, same I/O): keep the dot, the
+        # requant, the residual-operand DMA (one real add keeps it live
+        # against DCE) and both output writes, but skip the res-junction
+        # multiplies and the whole int-LN chain. The end-to-end delta vs
+        # the full kernel is the IN-SITU VPU cost of the junction chains
+        # (tools/resln_insitu.py; the additive model only had standalone
+        # differentials for this term — BENCH.md round-4 cross-check).
+        val = jnp.clip(mid + res_ref[:].astype(jnp.float32), qmin, qmax)
+        codes = val.astype(jnp.int8)
+        res_o_ref[:] = codes
+        ln_o_ref[:] = codes
+        return
     s_mid = vec_ref[0, :][None, :]
     s_res = vec_ref[1, :][None, :]
     inv_s_out = vec_ref[2, :][None, :]  # hoisted reciprocal (see wrapper)
-    # mid-node codes (round/clip is load-bearing for parity)
-    mid = jnp.clip(jnp.round(acc.astype(jnp.float32) * r + b), qmin, qmax)
     val = mid * s_mid + res_ref[:].astype(jnp.float32) * s_res
     res_codes = jnp.clip(jnp.round(val * inv_s_out), qmin, qmax)
     res_o_ref[:] = res_codes.astype(jnp.int8)
@@ -71,7 +84,8 @@ def _pad_vec(v, n, mult):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("qmin", "qmax", "block_m", "interpret")
+    jax.jit,
+    static_argnames=("qmin", "qmax", "block_m", "interpret", "bypass_vpu"),
 )
 def int8_matmul_res_ln(
     x_q,
@@ -90,6 +104,7 @@ def int8_matmul_res_ln(
     qmax: int = 127,
     block_m: int = 256,
     interpret: bool = False,
+    bypass_vpu: bool = False,
 ):
     """Returns (res_codes, ln_codes), both (M, N) int8.
 
@@ -140,7 +155,8 @@ def int8_matmul_res_ln(
     mp = x_p.shape[0]
 
     res_out, ln_out = pl.pallas_call(
-        functools.partial(_kernel, qmin=qmin, qmax=qmax, c_true=float(n)),
+        functools.partial(_kernel, qmin=qmin, qmax=qmax, c_true=float(n),
+                          bypass_vpu=bypass_vpu),
         grid=(mp // block_m,),
         in_specs=[
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),

@@ -489,8 +489,33 @@ def head_logits(s, h, use_pallas: bool = True, interpret: bool = False):
     return logits_c.astype(jnp.float32) * s["s_out"]
 
 
+def _junction(mm, mm_res_ln, mm_kw, resln, h_flat, w, rs, rb, xc_flat,
+              *ln_args):
+    """One residual junction (proj/fc2 + res + int-LN), with the round-4
+    timing-only probe arms (BENCH.md §roofline cross-check):
+
+      True     — production fused kernel.
+      "novpu"  — same kernel I/O (res read, both outputs written, dot +
+                 requant kept) but the junction multiplies and the whole
+                 int-LN chain skipped: the end-to-end delta vs True is the
+                 junction chains' IN-SITU VPU cost.
+      "nodma"  — plain requant matmul (no res operand, ONE output); the
+                 old residual codes are carried through unchanged. Delta
+                 vs "novpu" is the junction's in-situ DMA exposure.
+
+    Both probe arms produce WRONG values (timing only); guarded at
+    serving_forward."""
+    if resln is True:
+        return mm_res_ln(h_flat, w, rs, rb, xc_flat, *ln_args, **mm_kw)
+    if resln == "novpu":
+        return mm_res_ln(h_flat, w, rs, rb, xc_flat, *ln_args,
+                         bypass_vpu=True, **mm_kw)
+    return xc_flat, mm(h_flat, w, rs, rb, **mm_kw)
+
+
 def apply_unfused_layer(cfg: ViTConfig, layer, h, xc, lis=True,
-                        fuse_qkv=True, use_pallas=True, interpret=False):
+                        fuse_qkv=True, use_pallas=True, interpret=False,
+                        resln=True):
     """ONE encoder layer on codes via the four-kernel pipeline, driven from
     a stack_layer_consts slice — the lax.scan body of serving_forward's
     scan_layers mode. Same kernels, same constants, same order as the
@@ -530,14 +555,14 @@ def apply_unfused_layer(cfg: ViTConfig, layer, h, xc, lis=True,
                 .transpose(0, 2, 1, 3)
                 .reshape(b, n_tok, c)
             )
-    xc2, h = mm_res_ln(
-        h.reshape(-1, c), w_proj, prr, prb, xc.reshape(-1, c),
-        smid, sprev, sres1, ln2w, ln2b, ln2o, ln2r, **mm_kw,
+    xc2, h = _junction(
+        mm, mm_res_ln, mm_kw, resln, h.reshape(-1, c), w_proj, prr, prb,
+        xc.reshape(-1, c), smid, sprev, sres1, ln2w, ln2b, ln2o, ln2r,
     )
     h = mm(h, w_fc1, f1r, f1b, out_inv=f1inv, gelu=True, **mm_kw)
-    xc3, h = mm_res_ln(
-        h, w_fc2, f2r, f2b, xc2, smid2, sres1, sres2,
-        lnnw, lnnb, lnno, lnnr, **mm_kw,
+    xc3, h = _junction(
+        mm, mm_res_ln, mm_kw, resln, h, w_fc2, f2r, f2b, xc2,
+        smid2, sres1, sres2, lnnw, lnnb, lnno, lnnr,
     )
     return h.reshape(b, n_tok, c), xc3.reshape(b, n_tok, c)
 
@@ -559,13 +584,14 @@ def apply_fused_layer(cfg: ViTConfig, layer, h, xc, lis=True, interpret=False):
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "interpret", "use_pallas", "lis", "fuse_qkv",
-                     "fuse_layer", "fuse_embed", "scan_layers", "u8_affine"),
+                     "fuse_layer", "fuse_embed", "scan_layers", "u8_affine",
+                     "resln"),
 )
 def serving_forward(s, cfg: ViTConfig, x, interpret: bool = False,
                     use_pallas: bool = True, lis: bool = True,
                     fuse_qkv: bool = True, fuse_layer: bool = False,
                     fuse_embed: bool = True, scan_layers: bool | None = None,
-                    u8_affine: bool = False):
+                    u8_affine: bool = False, resln=True):
     """Run the int8 pipeline on an image batch; returns f32 logits.
 
     ``x``: host-normalized f32, or RAW uint8 after ``attach_u8_ingest``
@@ -602,6 +628,18 @@ def serving_forward(s, cfg: ViTConfig, x, interpret: bool = False,
         # the bypass baseline. ValueError, not assert — asserts strip under
         # python -O (same precedent as serving_swin.py's bypass guard).
         raise ValueError("lis='bypass' needs the Pallas path (use_pallas=True)")
+    if resln is not True:
+        # timing-only probe arms for the residual junctions (see _junction);
+        # values are WRONG by design, so gate hard: Pallas four-kernel path
+        # only (the fused-layer kernel has no probe arms), never the XLA
+        # fallback (same precedent as the lis='bypass' guard above).
+        if resln not in ("novpu", "nodma"):
+            raise ValueError(f"resln must be True|'novpu'|'nodma', got {resln!r}")
+        if not use_pallas or fuse_layer:
+            raise ValueError(
+                "resln probe arms need the Pallas four-kernel path "
+                "(use_pallas=True, fuse_layer=False)"
+            )
     if scan_layers is None:
         scan_layers = len(s["blocks"]) > 12
     mm = int8_matmul_requant if use_pallas else int8_matmul_requant_ref
@@ -637,7 +675,7 @@ def serving_forward(s, cfg: ViTConfig, x, interpret: bool = False,
             return (
                 apply_unfused_layer(
                     cfg, layer, *carry, lis=lis, fuse_qkv=fuse_qkv,
-                    use_pallas=use_pallas, interpret=interpret,
+                    use_pallas=use_pallas, interpret=interpret, resln=resln,
                 ),
                 None,
             )
@@ -709,7 +747,8 @@ def serving_forward(s, cfg: ViTConfig, x, interpret: bool = False,
         fc1 = sb["mlp_fc1"]
         # proj matmul + residual junction + int-LN2 in ONE kernel: outputs
         # the qact2 residual carrier AND the mlp's qact0 input codes
-        xc2, h = mm_res_ln(
+        xc2, h = _junction(
+            mm, mm_res_ln, mm_kw, resln,
             h.reshape(-1, c),
             pr["w_q"],
             sb["s_qact2a"] * pr["sw"] / sb["s_qact3"],
@@ -718,7 +757,6 @@ def serving_forward(s, cfg: ViTConfig, x, interpret: bool = False,
             sb["s_qact3"], s_prev, sb["s_res1"],
             sb["norm2_w"], sb["norm2_b"],
             fc1["s_act"] * sb["norm2_cs"], sb["norm2_ratio"],
-            **mm_kw,
         )
         xc = xc2.reshape(b, n_tok, c)
         h = mm(
@@ -741,7 +779,8 @@ def serving_forward(s, cfg: ViTConfig, x, interpret: bool = False,
             ln_w, ln_b = s["norm_w"], s["norm_b"]
             ln_out, ratio = s["s_qact2"], 1.0
         fc2 = sb["fc2"]
-        xc2, h = mm_res_ln(
+        xc2, h = _junction(
+            mm, mm_res_ln, mm_kw, resln,
             h,
             fc2["w_q"],
             sb["s_mq1"] * fc2["sw"] / sb["s_mq2"],
@@ -749,7 +788,6 @@ def serving_forward(s, cfg: ViTConfig, x, interpret: bool = False,
             xc.reshape(-1, c),
             sb["s_mq2"], sb["s_res1"], sb["s_res2"],
             ln_w, ln_b, ln_out, ratio,
-            **mm_kw,
         )
         xc = xc2.reshape(b, n_tok, c)
         h = h.reshape(b, n_tok, c)

@@ -67,6 +67,19 @@ def test_search_bench_rejects_unknown_hessian(monkeypatch):
         sb.main()
 
 
+def test_resln_insitu_smoke(monkeypatch, capsys):
+    import tools.resln_insitu as ri
+
+    name = "tinyvit_patch8_32"
+    monkeypatch.setitem(ri.VIT_ZOO, name, TINY_VIT_ZOO)
+    monkeypatch.setitem(ri.BATCH, name, 4)
+    monkeypatch.setattr(sys, "argv", ["resln_insitu", name])
+    ri.main()
+    out = capsys.readouterr().out
+    assert "IN-SITU per-layer" in out
+    assert "resln=True" in out and "nodma" in out
+
+
 def test_zoo_bench_smoke(monkeypatch, capsys):
     import tools.zoo_bench as zb
 

@@ -303,3 +303,63 @@ def test_pack_int4_rejects_out_of_range_codes():
     packed = jax.jit(pack_int4)(w)
     expect = jax.jit(pack_int4)(jnp.full((4, 8), -8, jnp.int8))
     assert (np.asarray(packed) == np.asarray(expect)).all()
+
+
+def test_matmul_res_ln_bypass_vpu_probe_interpret():
+    """The resln timing probe's kernel arm (bypass_vpu=True) must keep the
+    dot + requant + full I/O but write the documented probe values
+    (clip(mid + res) in both outputs) — pinned so the on-chip probe
+    (tools/resln_insitu.py) measures the intended work, not DCE'd air."""
+    from p2vit_tpu.ops.matmul_ln import int8_matmul_res_ln
+
+    rng = np.random.RandomState(3)
+    m, k, n = 64, 96, 128
+    x = jnp.asarray(rng.randint(-128, 128, (m, k), dtype=np.int8))
+    w = jnp.asarray(rng.randint(-128, 128, (n, k), dtype=np.int8))
+    r = jnp.asarray(2.0 ** rng.randint(-12, -6, n).astype(np.float32))
+    bias = jnp.asarray(rng.randn(n).astype(np.float32))
+    res = jnp.asarray(rng.randint(-128, 128, (m, n), dtype=np.int8))
+    ones = jnp.ones((n,), jnp.float32)
+    out_res, out_ln = int8_matmul_res_ln(
+        x, w, r, bias, res, ones, ones, ones, ones, ones, ones, ones,
+        interpret=True, bypass_vpu=True,
+    )
+    acc = jnp.dot(x.astype(jnp.int32), w.T.astype(jnp.int32))
+    mid = jnp.clip(jnp.round(acc.astype(jnp.float32) * r[None, :]
+                             + bias[None, :]), -128, 127)
+    expect = np.asarray(
+        jnp.clip(mid + res.astype(jnp.float32), -128, 127).astype(jnp.int8)
+    )
+    np.testing.assert_array_equal(np.asarray(out_res), expect)
+    np.testing.assert_array_equal(np.asarray(out_ln), expect)
+
+
+def test_serving_resln_probe_arms():
+    """The in-situ junction probe arms must run end to end (finite logits,
+    right shape — values are WRONG by design) and the guards must refuse
+    every configuration where the probe would silently lie."""
+    policy = make_policy()
+    params = vit.init_params(jax.random.PRNGKey(0), TINY)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 3, 32, 32))
+    calib = vit.calibrate(params, TINY, policy, x)
+    ss = serving.convert(params, calib.qstate, TINY, policy,
+                         [8] * TINY.num_matmuls)
+    base = np.asarray(serving.serving_forward(
+        ss, TINY, x, use_pallas=True, interpret=True))
+    for arm in ("novpu", "nodma"):
+        out = np.asarray(serving.serving_forward(
+            ss, TINY, x, use_pallas=True, interpret=True, resln=arm))
+        assert out.shape == base.shape and np.isfinite(out).all(), arm
+        # scan path drives the same _junction dispatch
+        out_s = np.asarray(serving.serving_forward(
+            ss, TINY, x, use_pallas=True, interpret=True, resln=arm,
+            scan_layers=True))
+        np.testing.assert_array_equal(out, out_s, err_msg=arm)
+    with pytest.raises(ValueError, match="resln must be"):
+        serving.serving_forward(ss, TINY, x, use_pallas=True,
+                                interpret=True, resln="bogus")
+    with pytest.raises(ValueError, match="Pallas four-kernel"):
+        serving.serving_forward(ss, TINY, x, use_pallas=False, resln="novpu")
+    with pytest.raises(ValueError, match="Pallas four-kernel"):
+        serving.serving_forward(ss, TINY, x, use_pallas=True, interpret=True,
+                                fuse_layer=True, resln="nodma")

@@ -93,3 +93,15 @@ def test_zoo_bench_smoke(monkeypatch, capsys):
     out = capsys.readouterr().out
     assert "FAILED" not in out
     assert vname in out and sname in out
+
+
+def test_latency_ab_smoke(monkeypatch, capsys):
+    import tools.latency_ab as la
+
+    name = "tinyvit_patch8_32"
+    monkeypatch.setitem(la.VIT_ZOO, name, TINY_VIT_ZOO)
+    monkeypatch.setattr(sys, "argv", ["latency_ab", name])
+    la.main()
+    out = capsys.readouterr().out
+    assert "best=" in out
+    assert "agree=1.0" in out  # fuse_layer arm must stay argmax-identical

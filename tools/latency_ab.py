@@ -1,0 +1,115 @@
+"""Small-batch serving latency A/B (round 4).
+
+Why: the 2026-08-19 bench added batch-1 latency and int8 serving LOSES to
+bf16 XLA there (0.528 vs 0.285 ms — 0.54×). At M=197 tokens the MXU is
+starved and per-kernel fixed costs (launch, prologue DMA, per-row VPU
+chains that don't shrink with M) dominate — the exact regime where
+``fuse_layer=True`` (ONE Pallas kernel per encoder layer, a measured null
+at batch 256 because inter-kernel DMA was already hidden) could win by
+collapsing 4 kernel launches + 3 HBM round trips per layer into 1.
+
+Arms (deit_small unless argv says otherwise), each at batch {1, 8, 32}:
+  bf16        the XLA baseline forward (same one bench.py ratios against)
+  int8        serving defaults (fuse_qkv + fuse_embed)
+  int8_fl     fuse_layer=True
+  int8_loff   lis=False
+  int8_fl_loff  fuse_layer + lis off
+
+Decision rule: if fuse_layer wins ≥5% at batch 1 AND is not worse at batch
+32, flip the serving default to fuse_layer for small M (auto-select by
+token count); otherwise record the measured numbers as the honest
+batch-1 story (int8-over-bf16 on this chip is a throughput play).
+
+Usage: python tools/latency_ab.py [deit_small deit_base ...]
+Repo root, real chip (interpret-mode smoke under JAX_PLATFORMS=cpu).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+sys.path.insert(0, ".")
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+import jax.numpy as jnp
+
+from bench import _time_fn
+from p2vit_tpu.config import make_policy
+from p2vit_tpu.models import VIT_ZOO, vit
+from p2vit_tpu import serving
+
+ALIAS = {"deit_tiny": "deit_tiny_patch16_224",
+         "deit_small": "deit_small_patch16_224",
+         "deit_base": "deit_base_patch16_224"}
+# iters scale inversely with batch so every timed run amortizes the ~30 ms
+# fixed tunnel overhead (BENCH.md methodology)
+ITERS = {1: 200, 8: 100, 32: 50}
+
+
+def main():
+    from p2vit_tpu.profiling import require_tpu
+
+    require_tpu()
+    names = [ALIAS.get(n, n) for n in sys.argv[1:]] or [
+        "deit_small_patch16_224"]
+    policy = make_policy()
+    on_accel = jax.devices()[0].platform != "cpu"
+    batches = (1, 8, 32) if on_accel else (1,)
+    print(f"== latency_ab platform={jax.devices()[0].platform}")
+    kw = {"use_pallas": True} if on_accel else {
+        "use_pallas": True, "interpret": True}
+    arms = {
+        "int8": {},
+        "int8_fl": {"fuse_layer": True},
+        "int8_loff": {"lis": False},
+        "int8_fl_loff": {"fuse_layer": True, "lis": False},
+    }
+    res = {}
+    for name in names:
+        cfg = VIT_ZOO[name]
+        params = vit.init_params(jax.random.PRNGKey(0), cfg)
+        qstate = vit.synthetic_qstate(cfg)
+        sstate = serving.convert(params, qstate, cfg, policy,
+                                 [8] * cfg.num_matmuls)
+        pb16 = jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16)
+            if a.dtype == jnp.float32 else a, params)
+        for batch in batches:
+            x = jax.random.normal(jax.random.PRNGKey(1),
+                                  (batch, 3, cfg.img_size, cfg.img_size),
+                                  jnp.float32)
+            iters = ITERS[batch] if on_accel else 1
+            row = {}
+            row["bf16_ms"] = _time_fn(
+                lambda xx, p: vit.fp_forward(p, cfg,
+                                             xx.astype(jnp.bfloat16)),
+                x, pb16, iters=iters) * 1e3
+            for arm, akw in arms.items():
+                row[arm + "_ms"] = _time_fn(
+                    lambda xx, s, a=dict(akw): serving.serving_forward(
+                        s, cfg, xx, **a, **kw),
+                    x, sstate, iters=iters) * 1e3
+            # argmax parity of the fuse_layer arm against the default arm
+            # at this batch (documented bit-identical; cheap to re-pin at
+            # the small shapes this tool exists for)
+            la = serving.serving_forward(sstate, cfg, x, **kw)
+            lb = serving.serving_forward(sstate, cfg, x, fuse_layer=True,
+                                         **kw)
+            row["fl_argmax_agree"] = float(
+                (jnp.argmax(la, -1) == jnp.argmax(lb, -1)).mean())
+            res[f"{name}@b{batch}"] = {
+                k: (round(v, 4) if isinstance(v, float) else v)
+                for k, v in row.items()}
+            best = min(arms, key=lambda a: row[a + "_ms"])
+            print(f"  {name} b={batch:3}: bf16 {row['bf16_ms']:7.3f} | "
+                  + " | ".join(f"{a} {row[a + '_ms']:7.3f}" for a in arms)
+                  + f"  best={best} agree={row['fl_argmax_agree']}")
+    print("\n" + json.dumps(res))
+
+
+if __name__ == "__main__":
+    main()

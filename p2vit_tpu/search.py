@@ -35,7 +35,7 @@ def sample_bit_configs(
     bit_choice=BIT_CHOICE,
     max_configs: int = 51,
     constraint_ratio: float = 1.1,
-    max_attempts: int = 50_000,
+    max_attempts: int = 4_000_000,
     layout: list | None = None,
 ) -> list:
     """Random grouped configs under the model-size constraint
@@ -47,23 +47,46 @@ def sample_bit_configs(
     iterations (2^49 for depth-12 ViT) with no attempt bound, which can
     stall for hours when the size constraint makes accepts rare
     (test_quant.py:324-341). Sampling semantics are unchanged; the loop is
-    simply capped at ``max_attempts`` draws.
+    capped at ``max_attempts`` draws and vectorized. The cap must be
+    generous: at deit_base geometry the 1.1× budget admits only ~9% of
+    FLOPs at 8-bit, an acceptance rate of ~2.7e-5/draw — filling 51
+    configs needs ~2M draws (a 50k cap returned an EMPTY front on chip,
+    2026-08-19). Vectorized draws keep even the 4M worst case under ~2 s.
     """
     n = len(flops)
     groups = vit_layout(n) if layout is None else layout
-    constraint = constraint_ratio * sum(f * 4 for f in flops)
-    out = []
-    for _ in range(min(2 ** (n - 1), max_attempts)):
-        cand = [max(bit_choice)] * n
-        for g in groups:
-            b = rng.choice(bit_choice)
-            for s in g:
-                cand[s] = b
-        size = sum(f * b for f, b in zip(flops, cand))
-        if size <= constraint and cand not in out:
-            out.append(cand)
-        if len(out) > max_configs - 1:
-            break
+    f = np.asarray(flops, dtype=np.float64)
+    constraint = constraint_ratio * float(f.sum()) * 4.0
+    base = [max(bit_choice)] * n
+    base_size = float(np.dot(f, base))
+    # per-group size DELTA for each bit choice relative to the all-max base
+    bits = np.asarray(bit_choice, dtype=np.float64)
+    gsum = np.asarray([f[g].sum() for g in groups])  # (G,)
+    delta = gsum[:, None] * (bits[None, :] - max(bit_choice))  # (G, B)
+    total = min(2 ** (n - 1), max_attempts)
+    # deterministic per rng: derive the numpy stream from the caller's seed
+    nprng = np.random.RandomState(rng.randrange(2**32))
+    out, seen = [], set()
+    chunk = 65_536
+    drawn = 0
+    while drawn < total and len(out) < max_configs:
+        m = min(chunk, total - drawn)
+        drawn += m
+        idx = nprng.randint(0, len(bit_choice), size=(m, len(groups)))
+        sizes = base_size + delta[
+            np.arange(len(groups))[None, :], idx
+        ].sum(axis=1)
+        for row in idx[sizes <= constraint]:
+            cand = list(base)
+            for g, b in zip(groups, row):
+                for s in g:
+                    cand[s] = bit_choice[b]
+            key = tuple(cand)
+            if key not in seen:
+                seen.add(key)
+                out.append(cand)
+                if len(out) >= max_configs:
+                    break
     return out
 
 

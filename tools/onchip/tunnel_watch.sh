@@ -4,7 +4,8 @@
 # (kill by pid only — never pkill by pattern.)
 # The queue script is read at FIRE time, so it stays editable until then.
 cd "$(dirname "$0")/../.." || exit 2
-QUEUE="$(dirname "$0")/queue_run.sh"
+# optional arg: which queue script to fire (default: the round's main one)
+QUEUE="${1:-$(dirname "$0")/queue_run.sh}"
 echo "queue start $(date)" >> /tmp/tunnel_status.txt
 for i in $(seq 1 960); do
   if timeout 60 python -c "

@@ -715,6 +715,17 @@ def swin_lis_attention_folded(
     identical to partition → swin_lis_attention → reverse (shared
     _swin_head_loop; asserted in tests/test_swin_serving.py).
 
+    **Mosaic REFUSES this kernel on chip** (measured 2026-08-19, the
+    current toolchain): the strip relayout's sublane split
+    ``(S, ws, g·ws, 3C) → (S, ws, g, ws, 3C)`` lowers to
+    ``tpu.reshape`` and fails infer-vector-layout ("unsupported shape
+    cast") — exactly the sublane↔lane relayout risk BENCH.md's
+    window-reorder note predicted. Any alternative expression needs the
+    same (ws, ws, C)→(ws², C) sublane merge, so the 2.11 ms reorder cost
+    stays itemized as the bound this toolchain cannot express. The kernel
+    remains interpret-verified (bitwise vs the two-step path) as the
+    recipe for a future toolchain; it is NOT a default candidate.
+
     Args:
       qkv_r: (B, res, res, 3C) int8 qkv codes in image-raster layout.
       bias/mask/scales: as in swin_lis_attention (mask already /s2; window

@@ -302,7 +302,11 @@ def serving_forward(s, qstate, cfg: SwinConfig, policy: QuantPolicy, x,
     window_partition/reverse copies (2.11 ms = 8.6% of Swin-T e2e, the
     reorder-bypass probe) never happen; shifted blocks keep their two
     rolls. qkv/proj then run on raster token order (same rows, same math).
-    Bit-identical to the two-step path; default set by on-chip A/B.
+    Bit-identical to the two-step path in interpret mode, but **the
+    current Mosaic toolchain refuses to lower it on chip** (2026-08-19:
+    "unsupported shape cast" on the strip relayout's sublane split — see
+    the kernel docstring). Kept as the interpret-verified recipe; never
+    flipped on by default.
 
     The image is fake-quantized by qact_input (every Swin constructor
     passes input_quant=True — swin_quant.py:697-705,930,957,984), then the

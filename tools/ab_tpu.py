@@ -127,11 +127,23 @@ def section_swin():
     print(f"swin attn parity on chip: rel={rel:.2e} argmax_agree={agree}")
     # fold_windows is bit-identical by construction (exact); the other arms
     # are documented to differ at rounding knife edges — allow one near-tie
-    # argmax flip in the batch of 8 rather than killing the whole A/B run
+    # argmax flip in the batch of 8 rather than killing the whole A/B run.
+    # Per-arm try/except: a Mosaic lowering refusal (fold_windows' strip
+    # relayout, measured 2026-08-19: "infer-vector-layout: unsupported
+    # shape cast" on the (ws, g·ws)→(g, ws·ws) sublane split) must be
+    # RECORDED, not abort the other arms' decisions.
+    dead = set()
     for other, fn_o, min_agree in (
             ("fuse_res", f_nofuse, 0.875), ("fuse_stem", f_stem, 0.875),
             ("fold_windows", f_fold, 1.0), ("int_stem", f_istem, 0.875)):
-        c = np.asarray(fn_o(x[:8]))
+        try:
+            c = np.asarray(fn_o(x[:8]))
+        except Exception as e:
+            dead.add(other)
+            RESULTS[f"swin_{other}_img_s"] = f"lowering failed: {type(e).__name__}"
+            print(f"swin {other}: LOWERING FAILED on chip — "
+                  f"{type(e).__name__}: {str(e)[:200]}")
+            continue
         agree = float((b.argmax(1) == c.argmax(1)).mean())
         rel = float(np.linalg.norm(b - c) / max(np.linalg.norm(c), 1e-9))
         print(f"swin {other} parity on chip: rel={rel:.2e} "
@@ -140,6 +152,8 @@ def section_swin():
     for name, fn in (("xla_attn", f_xla), ("pallas_attn", f_pal),
                      ("fuse_res_off", f_nofuse), ("fuse_stem_on", f_stem),
                      ("fold_windows", f_fold), ("int_stem", f_istem)):
+        if name in dead:
+            continue
         ips = batch / _t(fn, x)
         RESULTS[f"swin_{name}_img_s"] = round(ips, 1)
         print(f"swin-tiny {name}: {ips:.1f} img/s")
@@ -164,17 +178,21 @@ def _zoo_one(name, batch=8):
             pallas_attn=True))
         sim = np.asarray(serving_swin.serving_forward(
             ss, calib.qstate, cfg, policy, x, use_pallas=False))
-        # candidate-default option set (fold_windows + int_stem) at THIS
-        # geometry: if the Swin-T A/B flips either default, Swin-S/B must
-        # already have compiled + argmax-matched on chip (the C=1536 VMEM
-        # incident rule: interpret mode cannot vouch for Mosaic). int_stem
-        # is knife-edge inexact → allow one flip in the batch of 8.
+        # candidate-default option set at THIS geometry: if the Swin-T A/B
+        # flips a default, Swin-S/B must already have compiled +
+        # argmax-matched on chip (the C=1536 VMEM incident rule: interpret
+        # mode cannot vouch for Mosaic). int_stem is knife-edge inexact →
+        # allow one flip in the batch of 8. fold_windows is EXCLUDED since
+        # 2026-08-19: Mosaic refuses its strip relayout on chip
+        # ("unsupported shape cast" on the (ws, g·ws)→(g, ws·ws) sublane
+        # split) — it stays an interpret-verified experiment, never a
+        # default candidate.
         opts = np.asarray(serving_swin.serving_forward(
             ss, calib.qstate, cfg, policy, x, use_pallas=True,
-            pallas_attn=True, fold_windows=True, int_stem=True))
+            pallas_attn=True, int_stem=True))
         oagree = float((opts.argmax(1) == sim.argmax(1)).mean())
         RESULTS[f"zoo_{name}_opts_argmax_agree"] = oagree
-        print(f"zoo {name} (fold+int_stem): argmax_agree={oagree}")
+        print(f"zoo {name} (int_stem): argmax_agree={oagree}")
         assert oagree >= 0.875, f"{name}: option set diverges ({oagree})"
     else:
         params = vit.init_params(jax.random.PRNGKey(0), cfg)

@@ -18,3 +18,8 @@ echo "=== latency_ab $(date) ===" > /tmp/latency_ab.log
 timeout 5400 python tools/latency_ab.py deit_small \
   >> /tmp/latency_ab.log 2>&1
 echo "latency_ab rc=$?" >> /tmp/latency_ab.log
+
+echo "=== ceiling_swin swin_base $(date) ===" > /tmp/ceiling_swinbase.log
+timeout 5400 python tools/ceiling_swin.py swin_base_patch4_window7_224 \
+  >> /tmp/ceiling_swinbase.log 2>&1
+echo "ceiling_swin rc=$?" >> /tmp/ceiling_swinbase.log

@@ -63,6 +63,16 @@ def bench_swin(name, batch, policy, on_accel):
             x, ss, calib.qstate)
         out[f"{key}_img_s"] = round(batch / t, 2)
         out[f"{key}_vs_baseline"] = round(t_fp / t, 4)
+    # W4A8 (uniform weight bit_config=4, LIS on): supported + parity-tested
+    # (tests/test_swin_serving.py w_bit=4) but never timed — fills the "—"
+    # cells in the RESULTS.md zoo table. Same calibration, new conversion.
+    ss4 = serving_swin.convert(params, calib.qstate, cfg, policy, 4)
+    t4 = _time_fn(
+        lambda xx, s, q: serving_swin.serving_forward(
+            s, q, cfg, policy, xx, use_pallas=on_accel, lis=True),
+        x, ss4, calib.qstate)
+    out["w4a8_img_s"] = round(batch / t4, 2)
+    out["w4a8_vs_baseline"] = round(t_fp / t4, 4)
     out["batch"] = batch
     return out
 

@@ -86,8 +86,8 @@ def test_zoo_bench_smoke(monkeypatch, capsys):
     vname, sname = "tinyvit_patch8_32", "tinyswin_patch4_window4_32"
     monkeypatch.setitem(zb.VIT_ZOO, vname, TINY_VIT_ZOO)
     monkeypatch.setitem(zb.SWIN_ZOO, sname, TINY_SWIN)
-    monkeypatch.setitem(zb.VIT_BATCH, vname, 4)
-    monkeypatch.setitem(zb.SWIN_BATCH, sname, 4)
+    monkeypatch.setitem(zb.BATCH, vname, 4)
+    monkeypatch.setitem(zb.BATCH, sname, 4)
     monkeypatch.setattr(sys, "argv", ["zoo_bench", vname, sname])
     zb.main()
     out = capsys.readouterr().out

@@ -133,8 +133,13 @@ def section_swin():
     # shape cast" on the (ws, g·ws)→(g, ws·ws) sublane split) must be
     # RECORDED, not abort the other arms' decisions.
     dead = set()
+    # arm names here MUST match the timing loop's below: `dead` is keyed by
+    # them, and a Mosaic refusal writes its failure marker under the same
+    # RESULTS key the timing loop would (round-4 self-review: the old
+    # "fuse_res"/"fuse_stem" names defeated the per-arm resilience for
+    # those two arms and misplaced their failure markers).
     for other, fn_o, min_agree in (
-            ("fuse_res", f_nofuse, 0.875), ("fuse_stem", f_stem, 0.875),
+            ("fuse_res_off", f_nofuse, 0.875), ("fuse_stem_on", f_stem, 0.875),
             ("fold_windows", f_fold, 1.0), ("int_stem", f_istem, 0.875)):
         try:
             c = np.asarray(fn_o(x[:8]))

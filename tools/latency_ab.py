@@ -21,6 +21,8 @@ token count); otherwise record the measured numbers as the honest
 batch-1 story (int8-over-bf16 on this chip is a throughput play).
 
 Usage: python tools/latency_ab.py [deit_small deit_base ...]
+       [--batches 64,128]   (override the default 1,8,32 sweep — e.g. to
+       locate the int8-over-bf16 crossover batch between 32 and 256)
 Repo root, real chip (interpret-mode smoke under JAX_PLATFORMS=cpu).
 """
 
@@ -42,9 +44,7 @@ from p2vit_tpu.config import make_policy
 from p2vit_tpu.models import VIT_ZOO, vit
 from p2vit_tpu import serving
 
-ALIAS = {"deit_tiny": "deit_tiny_patch16_224",
-         "deit_small": "deit_small_patch16_224",
-         "deit_base": "deit_base_patch16_224"}
+from tools._zoo import ALIAS
 # iters scale inversely with batch so every timed run amortizes the ~30 ms
 # fixed tunnel overhead (BENCH.md methodology)
 ITERS = {1: 200, 8: 100, 32: 50}
@@ -54,11 +54,17 @@ def main():
     from p2vit_tpu.profiling import require_tpu
 
     require_tpu()
-    names = [ALIAS.get(n, n) for n in sys.argv[1:]] or [
-        "deit_small_patch16_224"]
+    args = sys.argv[1:]
+    batches = None
+    if "--batches" in args:
+        i = args.index("--batches")
+        batches = tuple(int(b) for b in args[i + 1].split(","))
+        args = args[:i] + args[i + 2:]
+    names = [ALIAS.get(n, n) for n in args] or ["deit_small_patch16_224"]
     policy = make_policy()
     on_accel = jax.devices()[0].platform != "cpu"
-    batches = (1, 8, 32) if on_accel else (1,)
+    if batches is None:
+        batches = (1, 8, 32) if on_accel else (1,)
     print(f"== latency_ab platform={jax.devices()[0].platform}")
     kw = {"use_pallas": True} if on_accel else {
         "use_pallas": True, "interpret": True}
@@ -82,7 +88,7 @@ def main():
             x = jax.random.normal(jax.random.PRNGKey(1),
                                   (batch, 3, cfg.img_size, cfg.img_size),
                                   jnp.float32)
-            iters = ITERS[batch] if on_accel else 1
+            iters = ITERS.get(batch, max(20, 6400 // batch)) if on_accel else 1
             row = {}
             row["bf16_ms"] = _time_fn(
                 lambda xx, p: vit.fp_forward(p, cfg,

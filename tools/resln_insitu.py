@@ -44,11 +44,7 @@ from p2vit_tpu.config import make_policy
 from p2vit_tpu.models import VIT_ZOO, vit
 from p2vit_tpu import serving
 
-BATCH = {"deit_tiny_patch16_224": 256, "deit_small_patch16_224": 256,
-         "deit_base_patch16_224": 128}
-ALIAS = {"deit_tiny": "deit_tiny_patch16_224",
-         "deit_small": "deit_small_patch16_224",
-         "deit_base": "deit_base_patch16_224"}
+from tools._zoo import ALIAS, BATCH
 # the additive-model 2x res+LN terms and the pure in-VMEM marginals
 # (BENCH.md round-4 cross-check table), ms/layer, for the printed verdict
 PRIOR = {"deit_tiny_patch16_224": (0.450, 0.218),

@@ -62,6 +62,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from p2vit_tpu.models import VIT_ZOO
 from p2vit_tpu.ops.attention_lis import _lis_from_scores
+from tools import _zoo
 from p2vit_tpu.ops.intln import ln_mn_chain
 from p2vit_tpu.ops.matmul_int8 import int8_matmul_requant
 from p2vit_tpu.profiling import device_time_ms
@@ -387,8 +388,11 @@ def main():
         require_tpu()  # fail fast on a dead tunnel
     names = args or ["deit_small", "deit_tiny"]
     results = {}
-    for short in names:
-        name = f"{short}_patch16_224"
+    for arg in names:
+        # accept both short aliases and full zoo names (the queue scripts
+        # pass full names to the sibling tools)
+        name = _zoo.resolve(arg)
+        short = _zoo.short(name)
         cfg = VIT_ZOO[name]
         batch = BENCH_R3_TERMS.get(short, {}).get("batch", 128)
         print(f"\n== {short} batch={batch} C={cfg.embed_dim} "

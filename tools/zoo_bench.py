@@ -32,12 +32,7 @@ from p2vit_tpu.models import SWIN_ZOO, VIT_ZOO
 from p2vit_tpu.models import swin as swin_mod
 from p2vit_tpu import serving_swin
 
-VIT_BATCH = {"deit_tiny_patch16_224": 256, "deit_small_patch16_224": 256,
-             "deit_base_patch16_224": 128, "vit_base_patch16_224": 128,
-             "vit_large_patch16_224": 64}
-SWIN_BATCH = {"swin_tiny_patch4_window7_224": 64,
-              "swin_small_patch4_window7_224": 64,
-              "swin_base_patch4_window7_224": 32}
+from tools._zoo import BATCH, resolve
 
 
 def bench_swin(name, batch, policy, on_accel):
@@ -86,13 +81,13 @@ def main():
     on_accel = jax.devices()[0].platform != "cpu"
     print(f"== zoo_bench platform={jax.devices()[0].platform}")
     res = {}
-    for name in names:
+    for name in map(resolve, names):
         try:
             if name in VIT_ZOO:
-                r, _ = _bench_vit(name, VIT_BATCH.get(name, 64), policy,
+                r, _ = _bench_vit(name, BATCH.get(name, 64), policy,
                                   on_accel)
             else:
-                r = bench_swin(name, SWIN_BATCH.get(name, 32), policy,
+                r = bench_swin(name, BATCH.get(name, 32), policy,
                                on_accel)
             res[name] = r
             print(f"  {name}: bf16 {r['bf16_img_s']} | int8 "

@@ -95,6 +95,26 @@ def test_zoo_bench_smoke(monkeypatch, capsys):
     assert vname in out and sname in out
 
 
+def test_w4pack_latency_smoke(monkeypatch, capsys):
+    """Drives the packed-store A/B arms in interpret mode: the bitwise
+    pin (i8 store == packed w4 store) must hold on every GEMM and on the
+    depth chain — a MISMATCH on chip would invalidate the whole A/B."""
+    import tools.w4pack_latency as wl
+
+    monkeypatch.setattr(wl, "INTERPRET", True)
+    monkeypatch.setattr(wl, "DEPTH", 2)
+    monkeypatch.setattr(
+        wl, "DEIT_S_GEMMS",
+        (("qkv", 32, 96, False), ("proj", 32, 32, False),
+         ("fc1", 32, 128, True), ("fc2", 128, 32, False)),
+    )
+    monkeypatch.setattr(sys, "argv", ["w4pack_latency"])
+    wl.main()
+    out = capsys.readouterr().out
+    assert "MISMATCH" not in out and "FAILED" not in out
+    assert "depth-" in out and "bitwise=ok" in out
+
+
 def test_latency_ab_smoke(monkeypatch, capsys):
     import tools.latency_ab as la
 

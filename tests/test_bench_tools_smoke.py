@@ -125,3 +125,17 @@ def test_latency_ab_smoke(monkeypatch, capsys):
     out = capsys.readouterr().out
     assert "best=" in out
     assert "agree=1.0" in out  # fuse_layer arm must stay argmax-identical
+
+
+def test_latency_ab_swin_smoke(monkeypatch, capsys):
+    """The Swin branch (crossover sweep support) must drive calibrate →
+    convert → both serving arms without the ViT-only fuse_layer probe."""
+    import tools.latency_ab as la
+
+    name = "tinyswin_patch4_window4_32"
+    monkeypatch.setitem(la.SWIN_ZOO, name, TINY_SWIN)
+    monkeypatch.setattr(sys, "argv", ["latency_ab", name])
+    la.main()
+    out = capsys.readouterr().out
+    assert name in out and "int8_loff" in out and "best=" in out
+    assert "agree" not in out.split(name)[-1].splitlines()[0]

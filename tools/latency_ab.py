@@ -20,7 +20,12 @@ Decision rule: if fuse_layer wins ≥5% at batch 1 AND is not worse at batch
 token count); otherwise record the measured numbers as the honest
 batch-1 story (int8-over-bf16 on this chip is a throughput play).
 
-Usage: python tools/latency_ab.py [deit_small deit_base ...]
+Swin names run a reduced arm set (bf16 / int8 / int8_loff — Swin has no
+fuse_layer mode): the windowed family carries ~16x more tokens per image
+at batch 1, so its int8-over-bf16 crossover sits far below the ViT
+family's (the deployment rule in RESULTS.md needs both numbers).
+
+Usage: python tools/latency_ab.py [deit_small deit_base swin_tiny ...]
        [--batches 64,128]   (override the default 1,8,32 sweep — e.g. to
        locate the int8-over-bf16 crossover batch between 32 and 256)
 Repo root, real chip (interpret-mode smoke under JAX_PLATFORMS=cpu).
@@ -41,13 +46,48 @@ import jax.numpy as jnp
 
 from bench import _time_fn
 from p2vit_tpu.config import make_policy
-from p2vit_tpu.models import VIT_ZOO, vit
-from p2vit_tpu import serving
+from p2vit_tpu.models import SWIN_ZOO, VIT_ZOO, vit
+from p2vit_tpu.models import swin as swin_mod
+from p2vit_tpu import serving, serving_swin
 
 from tools._zoo import ALIAS
 # iters scale inversely with batch so every timed run amortizes the ~30 ms
 # fixed tunnel overhead (BENCH.md methodology)
 ITERS = {1: 200, 8: 100, 32: 50}
+
+
+def _run_swin(name, batches, policy, on_accel, res):
+    """Swin arm set: bf16 / int8 / int8_loff (no fuse_layer mode)."""
+    cfg = SWIN_ZOO[name]
+    params = swin_mod.init_params(jax.random.PRNGKey(0), cfg)
+    x8 = jax.random.normal(jax.random.PRNGKey(2),
+                           (8, 3, cfg.img_size, cfg.img_size), jnp.float32)
+    calib = swin_mod.calibrate(params, cfg, policy, x8)
+    ss = serving_swin.convert(params, calib.qstate, cfg, policy, 8)
+    pb16 = jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
+        params)
+    skw = {"use_pallas": on_accel}
+    for batch in batches:
+        x = jax.random.normal(jax.random.PRNGKey(1),
+                              (batch, 3, cfg.img_size, cfg.img_size),
+                              jnp.float32)
+        iters = ITERS.get(batch, max(20, 6400 // batch)) if on_accel else 1
+        row = {}
+        row["bf16_ms"] = _time_fn(
+            lambda xx, p: swin_mod.fp_forward(p, cfg,
+                                              xx.astype(jnp.bfloat16)),
+            x, pb16, iters=iters) * 1e3
+        for arm, lis in (("int8", True), ("int8_loff", False)):
+            row[arm + "_ms"] = _time_fn(
+                lambda xx, s, q, lis=lis: serving_swin.serving_forward(
+                    s, q, cfg, policy, xx, lis=lis, **skw),
+                x, ss, calib.qstate, iters=iters) * 1e3
+        res[f"{name}@b{batch}"] = {k: round(v, 4) for k, v in row.items()}
+        best = min(("int8", "int8_loff"), key=lambda a: row[a + "_ms"])
+        print(f"  {name} b={batch:3}: bf16 {row['bf16_ms']:7.3f} | "
+              f"int8 {row['int8_ms']:7.3f} | "
+              f"int8_loff {row['int8_loff_ms']:7.3f}  best={best}")
 
 
 def main():
@@ -76,6 +116,9 @@ def main():
     }
     res = {}
     for name in names:
+        if name in SWIN_ZOO:
+            _run_swin(name, batches, policy, on_accel, res)
+            continue
         cfg = VIT_ZOO[name]
         params = vit.init_params(jax.random.PRNGKey(0), cfg)
         qstate = vit.synthetic_qstate(cfg)

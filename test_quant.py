@@ -427,6 +427,15 @@ def main():
         def model_fn(x, bit_config):
             return fp(params, x)
 
+    if args.quant and args.serve:
+        # measured deployment rule (p2vit_tpu/plan.py): warn when this
+        # batch size sits in the regime where bf16 XLA beats int8 serving
+        from p2vit_tpu import plan as _plan
+
+        rec = _plan.recommend(cfg, args.val_batchsize)
+        if rec.path != "int8":
+            print(f"[plan] {rec.reason}")
+
     if args.plot:
         if is_swin:
             print("--plot is ViT/DeiT-only (reference plots vit_base); skipping")

@@ -88,15 +88,17 @@ def recommend(cfg, batch: int, prefer_exact: bool = True) -> ServingPlan:
                 f"C={cfg.embed_dim} ViTs never cross bf16 on this chip "
                 "(deit_tiny 0.79x at batch 256; lane padding + per-row VPU "
                 "chains — BENCH.md dtpack A/B measured every counter a "
-                "dead-end); serve bf16, or int8 only for the 4x weight "
-                "footprint"), **kw)
+                "dead-end); serve the quantized weights at bf16 speed via "
+                "--serve-weight-only (serving.weight_only_params)"), **kw)
     lo = INT8_MIN_BATCH[fam]
     if batch < lo:
         return ServingPlan(
             path="bf16", lis=False, reason=(
                 f"batch {batch} is below the measured {fam} int8-over-bf16 "
                 f"crossover (~{lo}); the MXU is starved and per-row VPU "
-                "chains dominate (BENCH.md small-batch latency A/B)"), **kw)
+                "chains dominate (BENCH.md small-batch latency A/B) — "
+                "serve the quantized weights at bf16 speed via "
+                "--serve-weight-only (serving.weight_only_params)"), **kw)
     lis = True if fam == "swin" else prefer_exact
     why_lis = (
         "LIS on: fastest Swin arm from batch 4 up AND the parity path"

@@ -251,6 +251,60 @@ def convert(params, qstate, cfg: ViTConfig, policy: QuantPolicy, bit_config) -> 
     return s
 
 
+def weight_only_params(params, qstate, cfg: ViTConfig, policy: QuantPolicy,
+                       bit_config) -> dict:
+    """Weight-only quantized serving (W{4,8}, float activations): the EXACT
+    weight codes the int8 pipeline serves, dequantized back into the
+    original param pytree for the bf16 XLA forward.
+
+    Why this mode exists: below the measured int8-over-bf16 crossover
+    (batch <128 ViT / <4 Swin) and for C<384 ViTs at every batch, the
+    fully-quantized pipeline is SLOWER than bf16 XLA (BENCH.md crossover
+    tables; plan.py encodes the rule) — weight-only serving runs at bf16
+    speed by construction while deploying the same searched quantized
+    weights. Activations stay float, so its quantization error is strictly
+    a subset of the fully-quantized path's. The reference has no such mode
+    (it has no serving path at all, SURVEY §0); this is the TPU framework's
+    fallback for the regimes its own measurements say int8 loses.
+
+    SmoothQuant fold: the int8 path serves fq(w·cs) against SMOOTHED
+    activation codes of x/cs; weight-only consumes unsmoothed float
+    activations, so the effective weight is fq(w·cs)/cs — the smoothing
+    cancels in the product exactly as in the fp algebra.
+
+    Returns an f32 params pytree; cast and serve:
+        pw = serving.weight_only_params(params, qstate, cfg, policy, bits)
+        pw16 = jax.tree.map(lambda a: a.astype(jnp.bfloat16), pw)
+        logits = vit.fp_forward(pw16, cfg, x.astype(jnp.bfloat16))
+
+    The round-trip pin (tests/test_serving.py): requantizing these weights
+    with the serving scales reproduces convert()'s codes bit for bit.
+    """
+    s = convert(params, qstate, cfg, policy, bit_config)
+
+    def smooth_eff(layer):
+        return (layer["w_q"].astype(jnp.float32) * layer["sw"][:, None]
+                / layer["cs"][None, :])
+
+    def plain_eff(layer):
+        return layer["w_q"].astype(jnp.float32) * layer["sw"][:, None]
+
+    new = dict(params)
+    new["patch_embed"] = {**params["patch_embed"],
+                          "w": plain_eff(s["patch"])}
+    new["head"] = {**params["head"], "w": plain_eff(s["head"])}
+    blocks = []
+    for blk, sb in zip(params["blocks"], s["blocks"]):
+        nb = dict(blk)
+        nb["qkv"] = {**blk["qkv"], "w": smooth_eff(sb["qkv"])}
+        nb["proj"] = {**blk["proj"], "w": plain_eff(sb["proj"])}
+        nb["fc1"] = {**blk["fc1"], "w": smooth_eff(sb["mlp_fc1"])}
+        nb["fc2"] = {**blk["fc2"], "w": plain_eff(sb["fc2"])}
+        blocks.append(nb)
+    new["blocks"] = blocks
+    return new
+
+
 def _int_ln_codes(c_in, s_in, w, b, out_scale, ratio, use_pallas=False,
                   interpret=False):
     """Integer LayerNorm on codes → codes of the consumer node.

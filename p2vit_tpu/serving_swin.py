@@ -160,6 +160,42 @@ def convert(params, qstate, cfg: SwinConfig, policy: QuantPolicy, bit_config=8):
     return s
 
 
+def weight_only_params(params, qstate, cfg: SwinConfig, policy: QuantPolicy,
+                       bit_config=8) -> dict:
+    """Weight-only quantized Swin serving: convert()'s exact weight codes
+    dequantized back into the original param pytree for the bf16 XLA
+    forward — the fallback for the batch<4 regime where the int8 pipeline
+    measures below bf16 (BENCH.md §"Swin crossover"; see
+    serving.weight_only_params for the full rationale). Swin's serving
+    weights carry no SmoothQuant fold, so every effective weight is just
+    w_q·sw. Round-trip pin in tests/test_swin_serving.py."""
+    s = convert(params, qstate, cfg, policy, bit_config)
+    eff = lambda l: l["w_q"].astype(jnp.float32) * l["sw"][:, None]
+    new = dict(params)
+    new["patch_embed"] = {**params["patch_embed"], "w": eff(s["patch"])}
+    new["head"] = {**params["head"], "w": eff(s["head"])}
+    stages = []
+    for stage, st in zip(params["stages"], s["stages"]):
+        ns = dict(stage)
+        ns["blocks"] = [
+            {**blk,
+             "qkv": {**blk["qkv"], "w": eff(sb["qkv"])},
+             "proj": {**blk["proj"], "w": eff(sb["proj"])},
+             "fc1": {**blk["fc1"], "w": eff(sb["fc1"])},
+             "fc2": {**blk["fc2"], "w": eff(sb["fc2"])}}
+            for blk, sb in zip(stage["blocks"], st["blocks"])
+        ]
+        if "downsample" in stage:
+            ds = stage["downsample"]
+            ns["downsample"] = {
+                **ds,
+                "reduction": {**ds["reduction"], "w": eff(st["downsample"]["red"])},
+            }
+        stages.append(ns)
+    new["stages"] = stages
+    return new
+
+
 def _iln(codes, s_in, lnp, out_scale, expand=1, interpret=False, use_pallas=True):
     """Integer LN on codes with optional PatchMerging scale tiling."""
     c = codes.shape[-1]

@@ -107,6 +107,13 @@ def build_parser():
                    help="evaluate on the int8 Pallas serving path instead of "
                         "the fake-quant simulation (fixed bit config; Swin "
                         "uses its uniform-weight-bit pipeline)")
+    p.add_argument("--serve-weight-only", action="store_true",
+                   help="(with --quant) serve the quantized WEIGHTS through "
+                        "the bf16 XLA forward — the measured fallback for "
+                        "regimes below the int8-over-bf16 crossover "
+                        "(batch <128 ViT / <4 Swin, C<384 ViTs at any "
+                        "batch; p2vit_tpu/plan.py). Float activations: "
+                        "quantization error is a subset of --serve's.")
     p.add_argument("--plot", action="store_true",
                    help="dump per-channel activation range plots to figs/ "
                         "(reference plot_distrib.py plumbing; ViT/DeiT)")
@@ -337,7 +344,37 @@ def main():
     if pp_mesh is not None:
         from p2vit_tpu.parallel import pipeline as ppipe
 
-    if args.quant and is_swin and args.serve:
+    if args.quant and args.serve_weight_only:
+        if args.serve:
+            raise SystemExit(
+                "--serve and --serve-weight-only are mutually exclusive")
+        if args.dp or args.pp > 1 or args.tp > 1:
+            print("--dp/--pp/--tp apply to --serve; ignoring for weight-only")
+        from p2vit_tpu import serving as _srv
+        from p2vit_tpu import serving_swin as _srv_swin
+
+        _wo_cache = {}
+
+        def _wo_fwd(key):
+            if key not in _wo_cache:
+                if is_swin:
+                    pw = _srv_swin.weight_only_params(
+                        params, calib.qstate, cfg, policy, list(key))
+                else:
+                    pw = _srv.weight_only_params(
+                        params, calib.qstate, cfg, policy, list(key))
+                pw16 = jax.tree.map(
+                    lambda a: a.astype(jnp.bfloat16)
+                    if a.dtype == jnp.float32 else a, pw)
+                _wo_cache[key] = jax.jit(
+                    lambda x, p=pw16: family.fp_forward(
+                        p, cfg, x.astype(jnp.bfloat16)
+                    ).astype(jnp.float32))
+            return _wo_cache[key]
+
+        def model_fn(x, bit_config):
+            return _wo_fwd(tuple(int(b) for b in bit_config))(x)
+    elif args.quant and is_swin and args.serve:
         from p2vit_tpu import serving_swin
 
         on_accel = jax.devices()[0].platform != "cpu"
@@ -427,14 +464,17 @@ def main():
         def model_fn(x, bit_config):
             return fp(params, x)
 
-    if args.quant and args.serve:
-        # measured deployment rule (p2vit_tpu/plan.py): warn when this
-        # batch size sits in the regime where bf16 XLA beats int8 serving
+    if args.quant and (args.serve or args.serve_weight_only):
+        # measured deployment rule (p2vit_tpu/plan.py): warn when the
+        # chosen path disagrees with the measured crossover tables
         from p2vit_tpu import plan as _plan
 
         rec = _plan.recommend(cfg, args.val_batchsize)
-        if rec.path != "int8":
+        if args.serve and rec.path != "int8":
             print(f"[plan] {rec.reason}")
+        elif args.serve_weight_only and rec.path == "int8":
+            print(f"[plan] int8 serving (--serve) beats bf16 here: "
+                  f"{rec.reason}")
 
     if args.plot:
         if is_swin:

@@ -363,3 +363,47 @@ def test_serving_resln_probe_arms():
     with pytest.raises(ValueError, match="Pallas four-kernel"):
         serving.serving_forward(ss, TINY, x, use_pallas=True, interpret=True,
                                 fuse_layer=True, resln="nodma")
+
+
+def test_weight_only_params_roundtrip_and_forward():
+    """serving.weight_only_params: requantizing each effective weight with
+    the serving scales must reproduce convert()'s codes BIT FOR BIT
+    (including the SmoothQuant fold on qkv/fc1 — sw and cs are both PoT,
+    so the dequant→requant float round trip is exact), and the pytree must
+    run the plain fp forward. This is the bf16 fallback mode for the
+    regimes where the fully-quantized pipeline measures below bf16."""
+    policy = make_policy()
+    params = vit.init_params(jax.random.PRNGKey(0), TINY)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 3, 32, 32))
+    calib = vit.calibrate(params, TINY, policy, x)
+    n = TINY.num_matmuls
+    bit_config = ([4, 8] * n)[:n]
+    s = serving.convert(params, calib.qstate, TINY, policy, bit_config)
+    pw = serving.weight_only_params(params, calib.qstate, TINY, policy,
+                                    bit_config)
+
+    def requant(w_eff, layer, bit):
+        qmin, qmax = (-8, 7) if bit == 4 else (-128, 127)
+        if "cs" in layer:
+            w_eff = w_eff * layer["cs"][None, :]
+        codes = jnp.clip(jnp.round(w_eff / layer["sw"][:, None]),
+                         qmin, qmax).astype(jnp.int8)
+        np.testing.assert_array_equal(np.asarray(codes),
+                                      np.asarray(layer["w_q"]))
+
+    requant(pw["patch_embed"]["w"], s["patch"], bit_config[0])
+    requant(pw["head"]["w"], s["head"], bit_config[-1])
+    for i, (nb, sb) in enumerate(zip(pw["blocks"], s["blocks"])):
+        bq, bp, b1, b2 = bit_config[1 + 4 * i: 5 + 4 * i]
+        requant(nb["qkv"]["w"], sb["qkv"], bq)
+        requant(nb["proj"]["w"], sb["proj"], bp)
+        requant(nb["fc1"]["w"], sb["mlp_fc1"], b1)
+        requant(nb["fc2"]["w"], sb["fc2"], b2)
+    # non-weight leaves untouched; weights actually changed
+    np.testing.assert_array_equal(np.asarray(pw["blocks"][0]["qkv"]["b"]),
+                                  np.asarray(params["blocks"][0]["qkv"]["b"]))
+    assert not np.array_equal(np.asarray(pw["blocks"][0]["qkv"]["w"]),
+                              np.asarray(params["blocks"][0]["qkv"]["w"]))
+    logits = np.asarray(vit.fp_forward(pw, TINY, x))
+    assert logits.shape == (4, TINY.num_classes)
+    assert np.isfinite(logits).all()

@@ -328,3 +328,32 @@ def test_swin_lis_bypass_probe_runs(setup):
     with pytest.raises(ValueError, match="bypass"):
         serving_swin.serving_forward(ss, calib.qstate, TINY, policy, x,
                                      use_pallas=False, lis="bypass")
+
+
+def test_swin_weight_only_params_roundtrip_and_forward(setup):
+    """serving_swin.weight_only_params: requantizing every effective
+    weight (incl. the PatchMerging reduction) reproduces convert()'s
+    codes bit for bit; the pytree runs the plain fp forward."""
+    policy, params, x, calib = setup
+    s = serving_swin.convert(params, calib.qstate, TINY, policy, 4)
+    pw = serving_swin.weight_only_params(params, calib.qstate, TINY,
+                                         policy, 4)
+
+    def requant(w_eff, layer):
+        codes = jnp.clip(jnp.round(w_eff / layer["sw"][:, None]),
+                         -8, 7).astype(jnp.int8)
+        np.testing.assert_array_equal(np.asarray(codes),
+                                      np.asarray(layer["w_q"]))
+
+    requant(pw["patch_embed"]["w"], s["patch"])
+    requant(pw["head"]["w"], s["head"])
+    for stage, st in zip(pw["stages"], s["stages"]):
+        for blk, sb in zip(stage["blocks"], st["blocks"]):
+            for key in ("qkv", "proj", "fc1", "fc2"):
+                requant(blk[key]["w"], sb[key])
+        if "downsample" in stage:
+            requant(stage["downsample"]["reduction"]["w"],
+                    st["downsample"]["red"])
+    logits = np.asarray(swin.fp_forward(pw, TINY, x))
+    assert logits.shape == (2, TINY.num_classes)
+    assert np.isfinite(logits).all()

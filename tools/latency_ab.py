@@ -14,6 +14,9 @@ Arms (deit_small unless argv says otherwise), each at batch {1, 8, 32}:
   int8_fl     fuse_layer=True
   int8_loff   lis=False
   int8_fl_loff  fuse_layer + lis off
+  wonly       weight-only mode (serving.weight_only_params -> bf16 XLA
+              forward with the quantized weight codes as constants) —
+              should time ~= bf16 by construction; the measurement pins it
 
 Decision rule: if fuse_layer wins ≥5% at batch 1 AND is not worse at batch
 32, flip the serving default to fuse_layer for small M (auto-select by
@@ -64,9 +67,12 @@ def _run_swin(name, batches, policy, on_accel, res):
                            (8, 3, cfg.img_size, cfg.img_size), jnp.float32)
     calib = swin_mod.calibrate(params, cfg, policy, x8)
     ss = serving_swin.convert(params, calib.qstate, cfg, policy, 8)
-    pb16 = jax.tree.map(
-        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
-        params)
+    _b16 = lambda p: jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, p)
+    pb16 = _b16(params)
+    # weight-only mode: same XLA program as bf16, quantized-weight consts
+    pw16 = _b16(serving_swin.weight_only_params(
+        params, calib.qstate, cfg, policy, 8))
     skw = {"use_pallas": on_accel}
     for batch in batches:
         x = jax.random.normal(jax.random.PRNGKey(1),
@@ -83,11 +89,17 @@ def _run_swin(name, batches, policy, on_accel, res):
                 lambda xx, s, q, lis=lis: serving_swin.serving_forward(
                     s, q, cfg, policy, xx, lis=lis, **skw),
                 x, ss, calib.qstate, iters=iters) * 1e3
+        row["wonly_ms"] = _time_fn(
+            lambda xx, p: swin_mod.fp_forward(p, cfg,
+                                              xx.astype(jnp.bfloat16)),
+            x, pw16, iters=iters) * 1e3
         res[f"{name}@b{batch}"] = {k: round(v, 4) for k, v in row.items()}
-        best = min(("int8", "int8_loff"), key=lambda a: row[a + "_ms"])
+        best = min(("int8", "int8_loff", "wonly"),
+                   key=lambda a: row[a + "_ms"])
         print(f"  {name} b={batch:3}: bf16 {row['bf16_ms']:7.3f} | "
               f"int8 {row['int8_ms']:7.3f} | "
-              f"int8_loff {row['int8_loff_ms']:7.3f}  best={best}")
+              f"int8_loff {row['int8_loff_ms']:7.3f} | "
+              f"wonly {row['wonly_ms']:7.3f}  best={best}")
 
 
 def main():
@@ -124,9 +136,13 @@ def main():
         qstate = vit.synthetic_qstate(cfg)
         sstate = serving.convert(params, qstate, cfg, policy,
                                  [8] * cfg.num_matmuls)
-        pb16 = jax.tree.map(
+        _b16 = lambda p: jax.tree.map(
             lambda a: a.astype(jnp.bfloat16)
-            if a.dtype == jnp.float32 else a, params)
+            if a.dtype == jnp.float32 else a, p)
+        pb16 = _b16(params)
+        # weight-only mode: bf16 XLA program, quantized-weight constants
+        pw16 = _b16(serving.weight_only_params(
+            params, qstate, cfg, policy, [8] * cfg.num_matmuls))
         for batch in batches:
             x = jax.random.normal(jax.random.PRNGKey(1),
                                   (batch, 3, cfg.img_size, cfg.img_size),
@@ -142,6 +158,10 @@ def main():
                     lambda xx, s, a=dict(akw): serving.serving_forward(
                         s, cfg, xx, **a, **kw),
                     x, sstate, iters=iters) * 1e3
+            row["wonly_ms"] = _time_fn(
+                lambda xx, p: vit.fp_forward(p, cfg,
+                                             xx.astype(jnp.bfloat16)),
+                x, pw16, iters=iters) * 1e3
             # argmax parity of the fuse_layer arm against the default arm
             # at this batch (documented bit-identical; cheap to re-pin at
             # the small shapes this tool exists for)
@@ -153,9 +173,10 @@ def main():
             res[f"{name}@b{batch}"] = {
                 k: (round(v, 4) if isinstance(v, float) else v)
                 for k, v in row.items()}
-            best = min(arms, key=lambda a: row[a + "_ms"])
+            best = min(list(arms) + ["wonly"], key=lambda a: row[a + "_ms"])
             print(f"  {name} b={batch:3}: bf16 {row['bf16_ms']:7.3f} | "
                   + " | ".join(f"{a} {row[a + '_ms']:7.3f}" for a in arms)
+                  + f" | wonly {row['wonly_ms']:7.3f}"
                   + f"  best={best} agree={row['fl_argmax_agree']}")
     print("\n" + json.dumps(res))
 

@@ -86,7 +86,11 @@ def pack_w4(w_q: jnp.ndarray) -> jnp.ndarray:
 
     Word j holds panel p's code in nibble p (8 panels of the 128-padded
     K/8 panel length). Values must lie in [-8, 7] (int4 weight codes,
-    quant/bit_type.py); out-of-range non-traced input raises.
+    quant/bit_type.py); out-of-range non-traced input raises. Traced
+    input CANNOT raise on values — it saturates to [-8, 7] instead
+    (clip, not nibble wraparound), so a mis-routed full-range int8
+    tensor under jit degrades loudly in accuracy rather than silently
+    aliasing codes.
     """
     k = w_q.shape[1]
     if not isinstance(w_q, jax.core.Tracer):
@@ -186,9 +190,15 @@ def wstream_matmul(
     panels = {"bf16": 1, "i8": 1, "w8p": 4, "w4p": 8}[w_format]
     pk = _panel_len(k, panels)
     kp = panels * pk
+    if w.shape[0] != n:
+        raise ValueError(
+            f"weight store has {w.shape[0]} rows; row_scale has {n}")
     block_m, block_n = _pick_blocks(m, n, block_m, block_n)
     x_p = _pad_to(_pad_to(x.astype(jnp.bfloat16), 0, block_m), 1, kp)
     if w_format in ("bf16", "i8"):
+        if w.shape[1] != k:
+            raise ValueError(
+                f"{w_format} store has {w.shape[1]} cols; x has K={k}")
         w_p = _pad_to(_pad_to(w, 0, block_n), 1, kp)
         wk = kp
     else:

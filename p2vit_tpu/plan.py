@@ -92,13 +92,15 @@ def recommend(cfg, batch: int, prefer_exact: bool = True) -> ServingPlan:
                 "--serve-weight-only (serving.weight_only_params)"), **kw)
     lo = INT8_MIN_BATCH[fam]
     if batch < lo:
+        wo_api = ("serving_swin" if fam == "swin" else "serving") \
+            + ".weight_only_params"
         return ServingPlan(
             path="bf16", lis=False, reason=(
                 f"batch {batch} is below the measured {fam} int8-over-bf16 "
                 f"crossover (~{lo}); the MXU is starved and per-row VPU "
                 "chains dominate (BENCH.md small-batch latency A/B) — "
                 "serve the quantized weights at bf16 speed via "
-                "--serve-weight-only (serving.weight_only_params)"), **kw)
+                f"--serve-weight-only ({wo_api})"), **kw)
     lis = True if fam == "swin" else prefer_exact
     why_lis = (
         "LIS on: fastest Swin arm from batch 4 up AND the parity path"

@@ -280,6 +280,14 @@ def weight_only_params(params, qstate, cfg: ViTConfig, policy: QuantPolicy,
     The round-trip pin (tests/test_serving.py): requantizing these weights
     with the serving scales reproduces convert()'s codes bit for bit.
     """
+    if not policy.int_norm:
+        raise ValueError(
+            "weight-only serving freezes convert()'s weight codes, which "
+            "are defined by the PTF integer-LN calibration pipeline "
+            "(policy.int_norm=True): ptf=False changes the LN-output "
+            "observers and therefore the SmoothQuant channel scales the "
+            "codes are built from. Recalibrate with ptf=True, or run the "
+            "simulation path for ptf=False ablations.")
     s = convert(params, qstate, cfg, policy, bit_config)
 
     def smooth_eff(layer):

@@ -168,7 +168,13 @@ def weight_only_params(params, qstate, cfg: SwinConfig, policy: QuantPolicy,
     measures below bf16 (BENCH.md §"Swin crossover"; see
     serving.weight_only_params for the full rationale). Swin's serving
     weights carry no SmoothQuant fold, so every effective weight is just
-    w_q·sw. Round-trip pin in tests/test_swin_serving.py."""
+    w_q·sw. Round-trip pin in tests/test_swin_serving.py.
+
+    Inherits convert()'s preconditions (policy.int_norm; a post-input-quant
+    qstate with 'qact_input') deliberately: the frozen codes are defined by
+    the full calibrated state — a pre-input-quant state's weight scales were
+    solved against differently-scaled activations, so serving its codes
+    under the current pipeline's identity claims would be silently wrong."""
     s = convert(params, qstate, cfg, policy, bit_config)
     eff = lambda l: l["w_q"].astype(jnp.float32) * l["sw"][:, None]
     new = dict(params)

@@ -354,8 +354,14 @@ def main():
         from p2vit_tpu import serving_swin as _srv_swin
 
         _wo_cache = {}
+        # params as a RUNTIME ARG, not a closure: closures inline HLO
+        # constants and big-model programs exceed the tunnel's
+        # remote-compile cap (HTTP 413) — and one executable then serves
+        # every bit_config (same shapes → jit cache hit).
+        _wo_jit = jax.jit(lambda p, x: family.fp_forward(
+            p, cfg, x.astype(jnp.bfloat16)).astype(jnp.float32))
 
-        def _wo_fwd(key):
+        def _wo_params(key):
             if key not in _wo_cache:
                 if is_swin:
                     pw = _srv_swin.weight_only_params(
@@ -363,17 +369,14 @@ def main():
                 else:
                     pw = _srv.weight_only_params(
                         params, calib.qstate, cfg, policy, list(key))
-                pw16 = jax.tree.map(
+                _wo_cache[key] = jax.tree.map(
                     lambda a: a.astype(jnp.bfloat16)
                     if a.dtype == jnp.float32 else a, pw)
-                _wo_cache[key] = jax.jit(
-                    lambda x, p=pw16: family.fp_forward(
-                        p, cfg, x.astype(jnp.bfloat16)
-                    ).astype(jnp.float32))
             return _wo_cache[key]
 
         def model_fn(x, bit_config):
-            return _wo_fwd(tuple(int(b) for b in bit_config))(x)
+            key = tuple(int(b) for b in bit_config)
+            return _wo_jit(_wo_params(key), x)
     elif args.quant and is_swin and args.serve:
         from p2vit_tpu import serving_swin
 

@@ -115,6 +115,26 @@ def test_w4pack_latency_smoke(monkeypatch, capsys):
     assert "depth-" in out and "bitwise=ok" in out
 
 
+def test_wstream_bench_smoke(monkeypatch, capsys):
+    """Drives the streamed-weight arms (xla / bf16 / i8 / w8p / w4p) in
+    interpret mode: every arm must argmax-agree with the bf16-const XLA
+    baseline ('!' marks a <0.99 agreement in the per-GEMM lines)."""
+    import tools.wstream_bench as ws
+
+    monkeypatch.setattr(ws, "INTERPRET", True)
+    monkeypatch.setattr(ws, "DEPTH", 2)
+    monkeypatch.setattr(
+        ws, "DEIT_S_GEMMS",
+        (("qkv", 32, 96, False), ("proj", 32, 32, False),
+         ("fc1", 32, 128, True), ("fc2", 128, 32, False)),
+    )
+    monkeypatch.setattr(sys, "argv", ["wstream_bench"])
+    ws.main()
+    out = capsys.readouterr().out
+    assert "FAILED" not in out and "!" not in out
+    assert "best=" in out and "depth-" in out
+
+
 def test_latency_ab_smoke(monkeypatch, capsys):
     import tools.latency_ab as la
 

@@ -407,3 +407,14 @@ def test_weight_only_params_roundtrip_and_forward():
     logits = np.asarray(vit.fp_forward(pw, TINY, x))
     assert logits.shape == (4, TINY.num_classes)
     assert np.isfinite(logits).all()
+
+
+def test_weight_only_params_rejects_ptf_false():
+    """ptf=False calibrations have no frozen serving codes (the SmoothQuant
+    channel scales depend on the PTF LN-output observers) — the mode-specific
+    guard must explain that, not the int8-pipeline assert."""
+    policy = make_policy(ptf=False)
+    params = vit.init_params(jax.random.PRNGKey(0), TINY)
+    with pytest.raises(ValueError, match="weight-only serving"):
+        serving.weight_only_params(params, {}, TINY, policy,
+                                   [8] * TINY.num_matmuls)

@@ -91,6 +91,12 @@ def test_wstream_rejects_bad_format_and_store_width():
         wstream_matmul(x, w, r, b, w_format="nope", interpret=True)
     with pytest.raises(ValueError, match="words/row"):
         wstream_matmul(x, pack_w8(w), r, b, w_format="w4p", interpret=True)
+    # unpacked stores must match K exactly (no silent pad/truncate) and
+    # every store must carry one row per output channel
+    with pytest.raises(ValueError, match="cols; x has K"):
+        wstream_matmul(x, w[:, :384], r, b, w_format="i8", interpret=True)
+    with pytest.raises(ValueError, match="rows; row_scale"):
+        wstream_matmul(x, w[:16], r, b, w_format="i8", interpret=True)
 
 
 def test_panel_len_lane_quantum():

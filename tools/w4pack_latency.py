@@ -41,7 +41,6 @@ Usage: python tools/w4pack_latency.py   (repo root, real chip;
 
 from __future__ import annotations
 
-import functools
 import json
 import sys
 
@@ -59,25 +58,11 @@ from p2vit_tpu.ops.matmul_int8 import (
     pack_int4,
 )
 from p2vit_tpu.profiling import device_time
+from tools._gemm_bench import DEIT_S_GEMMS, DEPTH, make_consts
 
 INTERPRET = False  # tests flip this to run the same arms on CPU
 
-# (name, K, N, gelu) — DeiT-S encoder GEMMs in serving order
-DEIT_S_GEMMS = (
-    ("qkv", 384, 1152, False),
-    ("proj", 384, 384, False),
-    ("fc1", 384, 1536, True),
-    ("fc2", 1536, 384, False),
-)
-DEPTH = 12
-
-
-def _consts(rng, k, n):
-    kw, kr, kb = jax.random.split(rng, 3)
-    w = jax.random.randint(kw, (n, k), -8, 8, jnp.int8)  # int4 codes
-    r = 2.0 ** jax.random.randint(kr, (n,), -12, -4).astype(jnp.float32)
-    b = jax.random.normal(kb, (n,), jnp.float32)
-    return w, r, b
+_consts = make_consts  # int4-valued codes: both stores serve the same W
 
 
 def _arm_fns(gelu):
@@ -94,9 +79,12 @@ def run_gemm(name, m, k, n, gelu, rng, iters):
     w, r, b = _consts(kc, k, n)
     wp = pack_int4(w)
     i8_fn, w4_fn = _arm_fns(gelu)
-    ok = bool(jnp.array_equal(i8_fn(x, w, r, b), w4_fn(x, wp, r, b)))
-    res = {"bitwise": ok}
+    res = {}
     try:
+        # inside the try: a Mosaic lowering refusal at a new shape must
+        # hit the per-GEMM FAILED handler, not abort the queue slot
+        ok = bool(jnp.array_equal(i8_fn(x, w, r, b), w4_fn(x, wp, r, b)))
+        res["bitwise"] = ok
         res["i8_ms"] = device_time(i8_fn, x, w, r, b, iters=iters,
                                    repeats=3) * 1e3
         res["w4p_ms"] = device_time(w4_fn, x, wp, r, b, iters=iters,
@@ -163,19 +151,21 @@ def run_depth_chain(m, rng, iters):
         lambda *a: int4_matmul_requant(*a, **plain),
         lambda *a: int4_matmul_requant(*a, **gelu_kw),
     )
-    ok = bool(jnp.array_equal(i8_fn(x, ws, consts), w4_fn(x, wps, consts)))
-    res = {"bitwise": ok}
+    res = {}
     try:
+        ok = bool(jnp.array_equal(i8_fn(x, ws, consts),
+                                  w4_fn(x, wps, consts)))
+        res["bitwise"] = ok
         res["i8_ms"] = device_time(i8_fn, x, ws, consts, iters=iters,
                                    repeats=3) * 1e3
         res["w4p_ms"] = device_time(w4_fn, x, wps, consts, iters=iters,
                                     repeats=3) * 1e3
         ratio = res["i8_ms"] / res["w4p_ms"]
-        print(f"   depth-12 chain M={m}: i8 {res['i8_ms']:8.4f} ms | "
+        print(f"   depth-{DEPTH} chain M={m}: i8 {res['i8_ms']:8.4f} ms | "
               f"w4p {res['w4p_ms']:8.4f} ms ({ratio:.3f}x)  "
               f"[bitwise={'ok' if ok else 'MISMATCH'}]")
     except Exception as e:
-        print(f"   depth-12 chain FAILED: {type(e).__name__}: "
+        print(f"   depth-{DEPTH} chain FAILED: {type(e).__name__}: "
               f"{str(e).splitlines()[0][:120]}")
     return res
 

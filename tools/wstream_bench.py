@@ -24,7 +24,11 @@ Arms, per GEMM at M ∈ {197, 1576} and on the depth-12 scanned chain:
 
 All arms serve the SAME int4-valued codes, so outputs agree to ≤1 ulp
 bf16 (split-K accumulation order; exactness study in ops/matmul_wstream)
-— checked per run as argmax row agreement.
+— checked per run as argmax row agreement. The xla arm receives the
+weights PRE-CONVERTED to bf16 (wstream_ref's cast is then a no-op), so
+its timed loop streams exactly the bf16 weight constants weight-only
+serving serves — the baseline does not depend on XLA hoisting a
+loop-invariant int8→bf16 convert out of the timing loop.
 
 Decision rule: if the best packed arm wins ≥10% on the depth-12 chain at
 M=197 vs the XLA arm, productionize a streamed weight-only serving mode
@@ -55,35 +59,20 @@ from p2vit_tpu.ops.matmul_wstream import (
     wstream_ref,
 )
 from p2vit_tpu.profiling import device_time
+from tools._gemm_bench import DEIT_S_GEMMS, DEPTH, make_consts
 
-INTERPRET = False  # tests flip this to run the same arms on CPU
+INTERPRET = False  # tests flip this; main() flips it on a CPU fallback
 
-# (name, K, N, gelu) — DeiT-S encoder GEMMs in serving order
-DEIT_S_GEMMS = (
-    ("qkv", 384, 1152, False),
-    ("proj", 384, 384, False),
-    ("fc1", 384, 1536, True),
-    ("fc2", 1536, 384, False),
-)
-DEPTH = 12
+
+def _consts(rng, k, n):
+    # narrower PoT exponent pool than w4pack's: keeps |out| in bf16's
+    # dense range so the argmax-agreement check is meaningful per row
+    return make_consts(rng, k, n, rexp=(-9, -5))
+
 
 ARMS = ("bf16", "i8", "w8p", "w4p")
 PACK = {"bf16": lambda w: w.astype(jnp.bfloat16), "i8": lambda w: w,
         "w8p": pack_w8, "w4p": pack_w4}
-
-
-def _consts(rng, k, n):
-    kw, kr, kb = jax.random.split(rng, 3)
-    # int4-valued codes so every store (incl. w4p) serves the same weights
-    w = jax.random.randint(kw, (n, k), -8, 8, jnp.int8)
-    r = 2.0 ** jax.random.randint(kr, (n,), -9, -5).astype(jnp.float32)
-    b = jax.random.normal(kb, (n,), jnp.float32)
-    return w, r, b
-
-
-def _store_bytes(w, fmt):
-    ws = PACK[fmt](w)
-    return ws.size * ws.dtype.itemsize
 
 
 def run_gemm(name, m, k, n, gelu, rng, iters):
@@ -92,11 +81,15 @@ def run_gemm(name, m, k, n, gelu, rng, iters):
     w, r, b = _consts(kc, k, n)
     res = {}
     bf16_bytes = 2 * w.size
+    # the baseline streams bf16 weight constants, exactly like wonly
+    wb = w.astype(jnp.bfloat16)
     xla = jax.jit(lambda xx, ww, rr, bb: wstream_ref(xx, ww, rr, bb,
                                                      gelu=gelu))
-    ok_ref = jnp.argmax(xla(x, w, r, b), axis=1)
     try:
-        res["xla_ms"] = device_time(xla, x, w, r, b, iters=iters,
+        # inside the try: a lowering refusal must hit the per-GEMM FAILED
+        # handler, not abort the queue slot
+        ok_ref = jnp.argmax(xla(x, wb, r, b), axis=1)
+        res["xla_ms"] = device_time(xla, x, wb, r, b, iters=iters,
                                     repeats=3) * 1e3
         line = f"   {name:5s} M={m:5d} K={k:4d} N={n:4d}: " \
                f"xla {res['xla_ms']:8.4f}"
@@ -112,7 +105,7 @@ def run_gemm(name, m, k, n, gelu, rng, iters):
                                            repeats=3) * 1e3
             res[f"{fmt}_agree"] = agree
             res[f"{fmt}_bytes_ratio"] = round(
-                bf16_bytes / _store_bytes(w, fmt), 3)
+                bf16_bytes / (ws.size * ws.dtype.itemsize), 3)
             line += f" | {fmt} {res[f'{fmt}_ms']:8.4f}" \
                     + ("!" if agree < 0.99 else "")
         best = min(ARMS, key=lambda a: res[a + "_ms"])
@@ -162,10 +155,12 @@ def run_depth_chain(m, rng, iters):
         lambda *a: wstream_ref(*a),
         lambda *a: wstream_ref(*a, gelu=True),
     ))
-    ws_raw = tuple(stk(lambda l, i=i: l[i][0]) for i in range(4))
-    ref_arg = jnp.argmax(xla_fn(x, ws_raw, consts), axis=1)
+    # baseline streams bf16 weights (what wonly serves), not int8 codes
+    ws_bf16 = tuple(stk(lambda l, i=i: l[i][0].astype(jnp.bfloat16))
+                    for i in range(4))
     try:
-        res["xla_ms"] = device_time(xla_fn, x, ws_raw, consts, iters=iters,
+        ref_arg = jnp.argmax(xla_fn(x, ws_bf16, consts), axis=1)
+        res["xla_ms"] = device_time(xla_fn, x, ws_bf16, consts, iters=iters,
                                     repeats=3) * 1e3
         line = f"   depth-{DEPTH} chain M={m}: xla {res['xla_ms']:8.4f}"
         for fmt in ARMS:
@@ -198,11 +193,14 @@ def run_depth_chain(m, rng, iters):
 
 
 def main():
+    global INTERPRET
     if not INTERPRET:
         from p2vit_tpu.profiling import require_tpu
 
         require_tpu()
     on_accel = jax.devices()[0].platform != "cpu"
+    if not on_accel:
+        INTERPRET = True  # pallas_call can't lower on CPU; smoke via twin
     print(f"== wstream_bench platform={jax.devices()[0].platform}")
     rng = jax.random.PRNGKey(0)
     res = {}

@@ -17,4 +17,12 @@ run() {
   [ $rc -ne 0 ] && overall=1
 }
 run wstream python tools/wstream_bench.py
+# ledger refresh (insurance: the freshest committed on-chip state if the
+# tunnel dies again before the driver's round-end capture)
+echo "== slot bench: bench.py $(date)" | tee -a /tmp/queue_r4g.log
+P2VIT_BENCH_TUNNEL_WAIT_S=600 timeout 5400 python bench.py \
+  > /tmp/r4g_bench.log 2>&1
+rc=$?
+echo "== slot bench rc=$rc $(date)" | tee -a /tmp/queue_r4g.log
+[ $rc -ne 0 ] && overall=1
 exit $overall

@@ -141,6 +141,17 @@ def _update_ledger(res):
         pass  # read-only checkout: the JSON line still has everything
 
 
+def _zoo_block(ledger):
+    """The full 8-model zoo headline from the committed ledger, for the
+    driver-facing line of an ON-CHIP run (tools/zoo_bench.py merges
+    zoo_* keys after its own on-chip sweeps) — labeled with the ledger's
+    last on-chip merge date, not re-measured per bench run."""
+    zoo = {k: v for k, v in (ledger or {}).items() if k.startswith("zoo_")}
+    if not zoo:
+        return None
+    return {**zoo, "captured": ledger.get("captured")}
+
+
 def _bench_vit(name, batch, policy, on_accel):
     """bf16 / LIS-on / LIS-off img/s for one ViT-family model."""
     from p2vit_tpu.models import VIT_ZOO, vit
@@ -338,6 +349,9 @@ def main():
     }
     if on_accel:
         _update_ledger(res)
+        zb = _zoo_block(_load_ledger())
+        if zb:
+            line["zoo_ledger"] = zb
     else:
         ledger = _load_ledger()
         if ledger is not None:

@@ -34,11 +34,13 @@ the raw codes.
 The reference has no serving path at all (SURVEY §0); this kernel probes
 the TPU-native lever for the latency regime its own crossover
 measurements say full-int8 serving loses (BENCH.md §"Small-batch latency
-A/B"). ON-CHIP VERDICT (2026-08-19, tools/wstream_bench.py): measured
-dead-end for latency — the Pallas bf16 control arm already runs 23%
-behind XLA's constant-stream rate at these thin shapes, and no packed
-byte saving climbs back over it (best arm 0.83-0.86× of the XLA
-weight-only chain). Kept in-tree as the documented experiment and as the
+A/B"). ON-CHIP VERDICT (2026-08-19, tools/wstream_bench.py, two
+captures incl. one with explicit bf16-const baseline): measured dead-end
+for latency — the Pallas bf16 control arm runs 14-21% behind XLA's
+constant-stream rate at these thin shapes, and no packed byte saving
+climbs back over it on the chain (best arm 0.80-0.93× of the XLA
+weight-only chain; w4p does win the one deit_base-fc2-scale GEMM
+outright, 1.053×). Kept in-tree as the documented experiment and as the
 HBM-capacity option (w4p = 4× weight residency at K ≥ 1024). Full study:
 BENCH.md §"Streamed-weight bf16 matmul (wstream)".
 """

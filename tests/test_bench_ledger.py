@@ -45,3 +45,17 @@ def test_committed_ledger_is_valid():
     assert got["captured"] >= "2026-08-17"
     assert isinstance(got["deit_small_lis_on_img_s"], (int, float))
     assert isinstance(got["deit_small_lis_on_vs_baseline"], (int, float))
+
+
+def test_zoo_block():
+    """On-chip driver lines carry the zoo headline from the ledger,
+    date-labeled; absent zoo keys -> no block."""
+    led = {"captured": "2026-08-19", "deit_small_lis_on_img_s": 7175.0,
+           "zoo_swin_base_lis_on_vs_baseline": 1.7874,
+           "zoo_deit_tiny_lis_on_vs_baseline": 0.7899}
+    blk = bench._zoo_block(led)
+    assert blk == {"zoo_swin_base_lis_on_vs_baseline": 1.7874,
+                   "zoo_deit_tiny_lis_on_vs_baseline": 0.7899,
+                   "captured": "2026-08-19"}
+    assert bench._zoo_block({"captured": "x"}) is None
+    assert bench._zoo_block(None) is None

@@ -95,6 +95,21 @@ def test_zoo_bench_smoke(monkeypatch, capsys):
     assert vname in out and sname in out
 
 
+def test_zoo_bench_ledger_rows():
+    """Only numeric fields of succeeded models reach the committed ledger
+    (failure strings must never enter — bench.py ledger contract)."""
+    import tools.zoo_bench as zb
+
+    rows = zb.ledger_rows({
+        "swin_base_patch4_window7_224": {
+            "bf16_img_s": 736.0, "lis_on_vs_baseline": 1.789,
+            "note": "strings dropped"},
+        "deit_tiny_patch16_224": "failed: RuntimeError: tunnel",
+    })
+    assert rows == {"zoo_swin_base_bf16_img_s": 736.0,
+                    "zoo_swin_base_lis_on_vs_baseline": 1.789}
+
+
 def test_w4pack_latency_smoke(monkeypatch, capsys):
     """Drives the packed-store A/B arms in interpret mode: the bitwise
     pin (i8 store == packed w4 store) must hold on every GEMM and on the

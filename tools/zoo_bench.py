@@ -72,6 +72,23 @@ def bench_swin(name, batch, policy, on_accel):
     return out
 
 
+def ledger_rows(res: dict) -> dict:
+    """Flatten per-model results to committed-ledger keys.
+
+    'deit_small_patch16_224' → 'zoo_deit_small_<field>'; failed models
+    (string values) and non-numeric fields are dropped — the ledger's
+    contract is latest corroborated on-chip numbers only."""
+    flat = {}
+    for name, r in res.items():
+        if not isinstance(r, dict):
+            continue
+        short = name.split("_patch")[0]
+        for k, v in r.items():
+            if isinstance(v, (int, float, bool)):
+                flat[f"zoo_{short}_{k}"] = v
+    return flat
+
+
 def main():
     from p2vit_tpu.profiling import require_tpu
 
@@ -97,6 +114,15 @@ def main():
         except Exception as e:  # keep sweeping the rest of the zoo
             res[name] = f"failed: {type(e).__name__}: {e}"
             print(f"  {name}: FAILED {type(e).__name__}: {e}")
+    if on_accel:
+        # persist the zoo ratios so bench.py's driver artifact (and any
+        # CPU fallback) carries the full 8-model headline, date-labeled
+        from bench import _update_ledger
+
+        rows = ledger_rows(res)
+        if rows:
+            _update_ledger(rows)
+            print(f"# ledger: merged {len(rows)} zoo keys")
     print("\n" + json.dumps(res))
 
 

@@ -89,10 +89,13 @@ def pack_w4(w_q: jnp.ndarray) -> jnp.ndarray:
     Word j holds panel p's code in nibble p (8 panels of the 128-padded
     K/8 panel length). Values must lie in [-8, 7] (int4 weight codes,
     quant/bit_type.py); out-of-range non-traced input raises. Traced
-    input CANNOT raise on values — it saturates to [-8, 7] instead
-    (clip, not nibble wraparound), so a mis-routed full-range int8
-    tensor under jit degrades loudly in accuracy rather than silently
-    aliasing codes.
+    input CANNOT raise on values — it saturates to [-8, 7] (clip, not
+    nibble wraparound) AND emits a runtime jax.debug warning with the
+    offending count (advisor r4: silent saturation inside a jitted
+    pipeline gave a mis-routed int8 tensor no signal at all). Intended
+    call site is host-side weight constants (tools/wstream_bench.py,
+    serving conversion) — packing inside jit is supported but the codes
+    should already be int4-solved there.
     """
     k = w_q.shape[1]
     if not isinstance(w_q, jax.core.Tracer):
@@ -104,7 +107,16 @@ def pack_w4(w_q: jnp.ndarray) -> jnp.ndarray:
                 f"pack_w4 expects int4 codes in [-8, 7]; got "
                 f"[{wv.min()}, {wv.max()}]")
     else:
-        w_q = jnp.clip(w_q, -8, 7)
+        clipped = jnp.clip(w_q, -8, 7)
+        n_bad = jnp.sum((w_q != clipped).astype(jnp.int32))
+        jax.lax.cond(
+            n_bad > 0,
+            lambda n: jax.debug.print(
+                "pack_w4 WARNING: {n} codes outside [-8, 7] saturated — "
+                "mis-routed int8 tensor?", n=n),
+            lambda n: None,
+            n_bad)
+        w_q = clipped
     pk = _panel_len(k, 8)
     w = _pad_to(w_q, 1, 8 * pk) if k != 8 * pk else w_q
     w32 = w.astype(jnp.int32) & 0xF

@@ -29,8 +29,15 @@ from .models.common import ViTConfig
 from .models.swin import SwinConfig
 
 # measured int8-over-bf16 crossover batches (first measured batch size at
-# which int8 won; BENCH.md 2026-08-19)
+# which int8 won; BENCH.md 2026-08-19). Measured-model scope: the vit row
+# comes from the deit_small sweep, the swin row from swin_tiny (advisor
+# r4); deeper/wider members are expected to cross at-or-earlier batches
+# (more tokens/params fill the MXU sooner) — tools/onchip queue r5 sweeps
+# deit_base 64/128 and swin_small/base 1/4/16 to pin this per model.
 INT8_MIN_BATCH = {"vit": 128, "swin": 4}
+# which model each family crossover was actually swept on (cited in
+# recommend() reason strings so a deployment knows the evidence scope)
+CROSSOVER_MEASURED_ON = {"vit": "deit_small", "swin": "swin_tiny"}
 # ViTs narrower than this never crossed (deit_tiny C=192: 0.79x at b=256)
 VIT_MIN_EMBED_DIM = 384
 
@@ -97,7 +104,8 @@ def recommend(cfg, batch: int, prefer_exact: bool = True) -> ServingPlan:
         return ServingPlan(
             path="bf16", lis=False, reason=(
                 f"batch {batch} is below the measured {fam} int8-over-bf16 "
-                f"crossover (~{lo}); the MXU is starved and per-row VPU "
+                f"crossover (~{lo}, swept on "
+                f"{CROSSOVER_MEASURED_ON[fam]}); the MXU is starved and per-row VPU "
                 "chains dominate (BENCH.md small-batch latency A/B) — "
                 "serve the quantized weights at bf16 speed via "
                 f"--serve-weight-only ({wo_api})"), **kw)

@@ -58,7 +58,14 @@ def require_tpu(max_wait_s: float = 240.0) -> None:
     # succeeded at 09:59), so back-to-back tools need a wider window.
     env_wait = os.environ.get("P2VIT_REQUIRE_TPU_WAIT_S")
     if env_wait:
-        max_wait_s = float(env_wait)
+        # a typo in the env var must not abort a queue slot before the
+        # probe even runs — fall back to the default window (advisor r4)
+        try:
+            max_wait_s = float(env_wait)
+        except ValueError:
+            print(f"require_tpu: ignoring malformed "
+                  f"P2VIT_REQUIRE_TPU_WAIT_S={env_wait!r}; "
+                  f"using {max_wait_s}s", file=sys.stderr)
     deadline = time.monotonic() + max_wait_s
     while True:
         try:

@@ -31,9 +31,46 @@ def test_ledger_roundtrip(tmp_path, monkeypatch):
     assert got["u8_exact"] is True
     assert "swin_tiny_img_s" not in got
     assert "some_tuple" not in got
+    # per-key provenance: fresh keys dated + attributed to the writer
+    assert got["key_captured"]["deit_small_lis_on_img_s"].endswith(
+        "bench.py")
     # the ledger file is valid JSON on disk
     raw = json.loads((tmp_path / "ledger_test.json").read_text())
     assert raw == got
+
+    # a later PARTIAL merge (zoo-only run) must not re-date or re-attribute
+    # the untouched keys (advisor r4: zoo_bench re-stamped 'captured' over
+    # the whole ledger)
+    first_date = got["key_captured"]["deit_small_lis_on_img_s"]
+    bench._update_ledger({"zoo_swin_tiny_lis_on_vs_baseline": 1.49},
+                         source="tools/zoo_bench.py")
+    got2 = bench._load_ledger()
+    assert got2["key_captured"]["deit_small_lis_on_img_s"] == first_date
+    assert got2["key_captured"][
+        "zoo_swin_tiny_lis_on_vs_baseline"].endswith("tools/zoo_bench.py")
+    assert got2["deit_small_lis_on_img_s"] == 7131.0
+
+
+def test_fallback_line_demotes_cpu_numbers():
+    """VERDICT r4 item 2 polish: a CPU-fallback driver line must not put
+    CPU img/s in the headline `value` field — the headline carries the
+    ledger's on-chip number, flagged value_is_ledger."""
+    cpu_res = {"deit_small_lis_on_img_s": 5.32,
+               "deit_small_lis_on_vs_baseline": 1.1}
+    ledger = {"deit_small_lis_on_img_s": 7201.66,
+              "deit_small_lis_on_vs_baseline": 1.3215,
+              "captured": "2026-08-19", "platform": "tpu"}
+    line = bench._fallback_line(cpu_res, ledger)
+    assert line["value"] == 7201.66
+    assert line["vs_baseline"] == 1.3215
+    assert line["value_is_ledger"] is True
+    assert line["cpu_fallback"] == cpu_res
+    assert line["last_known_tpu"] == ledger
+    assert "cpu-fallback" in line["platform"]
+    # no ledger at all -> value is None, never the CPU number
+    line2 = bench._fallback_line(cpu_res, None)
+    assert line2["value"] is None
+    assert "last_known_tpu" not in line2
 
 
 def test_committed_ledger_is_valid():

@@ -121,7 +121,7 @@ def main():
 
         rows = ledger_rows(res)
         if rows:
-            _update_ledger(rows)
+            _update_ledger(rows, source="tools/zoo_bench.py")
             print(f"# ledger: merged {len(rows)} zoo keys")
     print("\n" + json.dumps(res))
 

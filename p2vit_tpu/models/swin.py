@@ -20,10 +20,13 @@ the INTENT — the FQ-ViT quantized Swin — and makes it actually work:
   * final int-LN → token avg-pool → head (:899-914).
 
 P²-ViT's additions (SmoothQuant, per-layer bit_config, Hessian search) were
-never wired into Swin by the reference; this rebuild keeps Swin FQ-ViT-style
-with a single uniform weight bit width selectable at eval (the per-bit scale
-dics are still calibrated, like QLinear's, so extending to mixed precision
-is a gather away).
+never wired into Swin by the reference; this rebuild goes further and wires
+them: ``quant_forward`` takes a single uniform weight bit selectable at
+eval, and ``quant_forward_mixed`` + ``mixed_layout`` + ``swin_flops`` (below)
+give Swin real per-matmul mixed precision — the CLI drives it via
+``--mixed --live-hessian`` (hessian.py computes the layer traces the
+reference's hardcoded table only has for ViT). The per-bit scale dics are
+calibrated for every block, like QLinear's, so both paths share QuantState.
 """
 
 from __future__ import annotations

@@ -320,6 +320,24 @@ def int4_matmul_requant(
     return out[:m, :n]
 
 
+def requant_epilogue_ref(
+    acc, requant_scale, bias_scaled, out_inv=1.0, qmin=-128, qmax=127,
+    gelu=False,
+):
+    """The kernel's post-dot chain on a raw int32 accumulator — exactly
+    ``_kernel``'s epilogue math (requant → optional GELU → round/clip).
+
+    Factored for the row-parallel TP junctions (parallel/tensor_swin.py):
+    psum the int32 partials across the "model" axis, then run this — the
+    reduction is exact integer addition, so the result is bitwise equal to
+    the single-device fused kernel (same contract as
+    ops/matmul_ln.res_ln_epilogue_ref)."""
+    y = acc.astype(jnp.float32) * requant_scale[None, :] + bias_scaled[None, :]
+    if gelu:
+        y = _gelu_exact(y) * jnp.asarray(out_inv, jnp.float32)
+    return jnp.clip(jnp.round(y), qmin, qmax).astype(jnp.int8)
+
+
 def int8_matmul_requant_ref(
     x_q, w_q, requant_scale, bias_scaled, out_inv=1.0, qmin=-128, qmax=127,
     gelu=False,
@@ -329,7 +347,5 @@ def int8_matmul_requant_ref(
         x_q, w_q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32,
         precision=jax.lax.Precision.DEFAULT,
     )
-    y = acc.astype(jnp.float32) * requant_scale[None, :] + bias_scaled[None, :]
-    if gelu:
-        y = _gelu_exact(y) * jnp.asarray(out_inv, jnp.float32)
-    return jnp.clip(jnp.round(y), qmin, qmax).astype(jnp.int8)
+    return requant_epilogue_ref(acc, requant_scale, bias_scaled, out_inv,
+                                qmin, qmax, gelu)

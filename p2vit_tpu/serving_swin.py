@@ -242,13 +242,26 @@ def _window_attention_codes(hw, sb, bq, mask, lis, n_heads):
     +bias(qact_table) → qact2 → (+mask) → LIS/softmax → @v → qact3 codes.
     """
     aq = bq["attn"]
+    n = hw.shape[1]
+    ws = int(round(np.sqrt(n)))
+    return _window_attention_codes_vals(
+        hw, _bias_values(sb, aq, ws, n, n_heads), mask, lis, n_heads,
+        aq["qact1"]["scale"], aq["qact_attn1"]["scale"],
+        aq["qact2"]["scale"], aq["qact3"]["scale"],
+    )
+
+
+def _window_attention_codes_vals(hw, bias_val, mask, lis, n_heads,
+                                 s1, s_attn1, s2, s3):
+    """``_window_attention_codes`` on pre-gathered bias VALUES + scalar
+    scales — the head-parallel entry: every term is per-head, so a TP
+    shard (parallel/tensor_swin.py) calls this with its local heads and
+    the matching bias rows, bit-identically to the full-width call."""
     b_, n, c3 = hw.shape
     c = c3 // 3
     hd = c // n_heads
-    ws = int(round(np.sqrt(n)))
     qkv = hw.reshape(b_, n, 3, n_heads, hd).transpose(2, 0, 3, 1, 4)
     q, k, v = qkv[0], qkv[1], qkv[2]
-    s1 = aq["qact1"]["scale"]
     acc = jnp.einsum(
         "bhnd,bhmd->bhnm", q.astype(jnp.int32), k.astype(jnp.int32),
         precision=jax.lax.Precision.DEFAULT,  # int dot: precision is
@@ -257,15 +270,11 @@ def _window_attention_codes(hw, sb, bq, mask, lis, n_heads):
     ).astype(jnp.float32)
     # attn = fq(q*scale @ k^T) at qact_attn1
     attn_c = jnp.clip(
-        jnp.round(acc * (s1**2 * hd**-0.5 / aq["qact_attn1"]["scale"])), *_I8
+        jnp.round(acc * (s1**2 * hd**-0.5 / s_attn1)), *_I8
     )
     # + relative position bias (bias table fake-quantized at qact_table)
-    bias_val = _bias_values(sb, aq, ws, n, n_heads)
-    s2 = aq["qact2"]["scale"]
     attn2 = jnp.clip(
-        jnp.round(
-            (attn_c * aq["qact_attn1"]["scale"] + bias_val[None]) / s2
-        ),
+        jnp.round((attn_c * s_attn1 + bias_val[None]) / s2),
         *_I8,
     )
     if mask is not None:
@@ -281,9 +290,7 @@ def _window_attention_codes(hw, sb, bq, mask, lis, n_heads):
         attn_p = _fp_softmax_from_scores(attn2, s2, col, n)
     av = jnp.einsum("bhnm,bhmd->bhnd", attn_p, v.astype(jnp.float32))
     out = av.transpose(0, 2, 1, 3).reshape(b_, n, c)
-    return jnp.clip(jnp.round(out * (s1 / aq["qact3"]["scale"])), *_I8).astype(
-        jnp.int8
-    )
+    return jnp.clip(jnp.round(out * (s1 / s3)), *_I8).astype(jnp.int8)
 
 
 def _bias_values(sb, aq, ws, n, n_heads):

@@ -191,11 +191,28 @@ def build_parallel_meshes(args, cfg, is_swin):
     if args.tp and args.tp > 1:
         if not (args.quant and args.serve):
             print("--tp needs --quant --serve; ignoring")
-        elif is_swin:
-            print("--tp is ViT/DeiT-only (parallel/tensor.py shards the "
-                  "isotropic encoder); ignoring")
         elif pp_mesh is not None:
             print("--tp and --pp are mutually exclusive; using --pp")
+        elif is_swin:
+            # Swin TP (parallel/tensor_swin.py): tp must divide every
+            # stage's head count — tiny/small admit tp=3, base tp in {2,4}
+            from p2vit_tpu.parallel import mesh as pmesh
+            from p2vit_tpu.parallel import tensor_swin
+
+            try:
+                tensor_swin.check_tp(cfg, args.tp)
+            except ValueError as e:
+                print(f"--tp {args.tp}: {e}; ignoring")
+            else:
+                if args.sp:
+                    print("--sp is ViT/DeiT-only (Swin's token count "
+                          "shrinks 4x per stage — tensor_swin.py docstring);"
+                          " ignoring")
+                dp = args.dp if args.dp and args.dp > 1 else 1
+                tp_mesh = pmesh.make_mesh(dp * args.tp,
+                                          model_parallel=args.tp)
+                print(f"serving tensor-parallel over {args.tp} model shards"
+                      + (f" x {dp} data shards" if dp > 1 else ""))
         elif cfg.num_heads % args.tp:
             print(f"--tp {args.tp} does not divide {args.model}'s "
                   f"{cfg.num_heads} heads (try "
@@ -391,13 +408,22 @@ def main():
                 )
                 if u8:
                     serving_swin.attach_u8_ingest(s, pp["mean"], pp["std"])
-                if dp_mesh is not None:
-                    s = pmesh.replicate(s, dp_mesh)
-                fwd = lambda x, s=s: serving_swin.serving_forward(
-                    s, calib.qstate, cfg, policy, x, use_pallas=on_accel,
-                )
-                if dp_mesh is not None:
-                    fwd = pmesh.dp_serving_fn(fwd, dp_mesh)
+                if tp_mesh is not None:
+                    from p2vit_tpu.parallel import tensor_swin
+
+                    fwd = tensor_swin.tp_serving_fn(
+                        s, calib.qstate, cfg, tp_mesh,
+                        lis=policy.int_softmax, use_pallas=on_accel,
+                    )
+                else:
+                    if dp_mesh is not None:
+                        s = pmesh.replicate(s, dp_mesh)
+                    fwd = lambda x, s=s: serving_swin.serving_forward(
+                        s, calib.qstate, cfg, policy, x,
+                        use_pallas=on_accel,
+                    )
+                    if dp_mesh is not None:
+                        fwd = pmesh.dp_serving_fn(fwd, dp_mesh)
                 _sw_cache[key] = fwd
             return _sw_cache[key]
 

@@ -372,3 +372,79 @@ def test_dp_generation_grad_matches_single_device(calibrated):
                 TINY, *args)
         )
     np.testing.assert_allclose(sharded, single, rtol=2e-4, atol=2e-6)
+
+
+@pytest.fixture(scope="module")
+def swin_calibrated():
+    from p2vit_tpu import serving_swin
+    from p2vit_tpu.models import swin as swin_mod
+
+    cfg = swin_mod.SwinConfig(
+        img_size=32, patch_size=4, num_classes=10, embed_dim=16,
+        depths=(2, 2), num_heads=(2, 2), window_size=4,
+    )
+    policy = make_policy()
+    params = swin_mod.init_params(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 3, 32, 32))
+    calib = swin_mod.calibrate(params, cfg, policy, x)
+    ss = serving_swin.convert(params, calib.qstate, cfg, policy, 8)
+    return cfg, policy, params, x, calib, ss
+
+
+def test_swin_tp_serving_matches_single_device(swin_calibrated):
+    """Megatron TP for Swin (parallel/tensor_swin.py) on a 4×2
+    ("data","model") mesh: per-stage head-aligned column-parallel qkv,
+    head-parallel window attention (bias values sharded by head),
+    row-parallel proj/fc2 with the psum on the RAW int32 accumulator
+    before the shared epilogue twins — logits BITWISE equal to
+    single-device serving_forward (fuse_res default path), both LIS
+    arms, plus an uneven batch through the pad/trim path."""
+    from p2vit_tpu import serving_swin
+    from p2vit_tpu.parallel import tensor_swin
+
+    cfg, policy, params, x, calib, ss = swin_calibrated
+    m = pmesh.make_mesh(8, model_parallel=2)
+    for lis in (True, False):
+        single = np.asarray(serving_swin.serving_forward(
+            ss, calib.qstate, cfg, policy, x, use_pallas=False, lis=lis))
+        fn = tensor_swin.tp_serving_fn(
+            ss, calib.qstate, cfg, m, use_pallas=False, lis=lis)
+        np.testing.assert_array_equal(np.asarray(fn(x)), single)
+        if lis:
+            out6 = np.asarray(fn(x[:6]))  # uneven batch: pad + trim
+            np.testing.assert_array_equal(out6, single[:6])
+
+
+def test_swin_tp_serving_pallas_kernels_in_shard(swin_calibrated):
+    """The Swin TP path must run the real Pallas kernels on each model
+    shard (local heads, sharded channels) — interpret mode on the CPU
+    mesh. Bitwise vs the single-device Pallas program."""
+    from p2vit_tpu import serving_swin
+    from p2vit_tpu.parallel import tensor_swin
+
+    cfg, policy, params, x, calib, ss = swin_calibrated
+    single = np.asarray(serving_swin.serving_forward(
+        ss, calib.qstate, cfg, policy, x, use_pallas=True, interpret=True))
+    m = pmesh.make_mesh(8, model_parallel=2)
+    fn = tensor_swin.tp_serving_fn(ss, calib.qstate, cfg, m,
+                                   use_pallas=True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(fn(x)), single)
+
+
+def test_swin_tp_w4_and_divisibility(swin_calibrated):
+    """W4 weight codes ride the same TP splits (bit-width-agnostic), and
+    check_tp rejects a tp that does not divide every stage's heads."""
+    from p2vit_tpu import serving_swin
+    from p2vit_tpu.parallel import tensor_swin
+
+    cfg, policy, params, x, calib, ss = swin_calibrated
+    s4 = serving_swin.convert(params, calib.qstate, cfg, policy, 4)
+    single = np.asarray(serving_swin.serving_forward(
+        s4, calib.qstate, cfg, policy, x, use_pallas=False))
+    m = pmesh.make_mesh(8, model_parallel=2)
+    fn = tensor_swin.tp_serving_fn(s4, calib.qstate, cfg, m,
+                                   use_pallas=False)
+    np.testing.assert_array_equal(np.asarray(fn(x)), single)
+
+    with pytest.raises(ValueError, match="heads"):
+        tensor_swin.check_tp(cfg, 3)  # heads (2,2): tp=3 cannot divide

@@ -313,9 +313,29 @@ def test_build_parallel_meshes():
     assert tp is None and dp is not None
 
     # family/flag gating
-    assert resolve(["--tp", "2"], is_swin=True) == (None, None, None)
     assert resolve(["--dp", "4"], quant_serve=False) == (None, None, None)
     assert resolve(["--tp", "2"], quant_serve=False) == (None, None, None)
+
+    # Swin TP (parallel/tensor_swin.py): tp must divide EVERY stage's
+    # heads; --sp is ViT-only and silently ignored
+    from p2vit_tpu.models.swin import SwinConfig
+
+    swcfg = SwinConfig(img_size=32, patch_size=4, num_classes=10,
+                       embed_dim=16, depths=(2, 2), num_heads=(2, 2),
+                       window_size=4)
+
+    def resolve_sw(extra):
+        args = parser.parse_args(
+            ["swin_tiny", "/tmp/none", "--quant", "--serve"] + extra)
+        return cli.build_parallel_meshes(args, swcfg, True)
+
+    dp, pp, tp = resolve_sw(["--tp", "2", "--sp"])
+    assert tp is not None and dict(tp.shape) == {"data": 1, "model": 2}
+    assert resolve_sw(["--tp", "3"]) == (None, None, None)  # 3 ∤ heads (2,2)
+    # --pp is ViT-only for Swin (token pyramid breaks the wire format),
+    # so it is ignored and the valid --tp proceeds
+    dp, pp, tp = resolve_sw(["--tp", "2", "--pp", "2"])
+    assert pp is None and tp is not None
 
 
 def test_datafree_generation(tiny_model):

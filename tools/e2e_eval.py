@@ -24,6 +24,11 @@ at /tmp/e2e_imnet (ImageNet-val-shaped 500x375 JPEGs, quality 87).
 Usage: python tools/e2e_eval.py [model] [--batch B] [--imgs N] [--f32]
 (defaults deit_small_patch16_224, 256, 2048; --f32 times the host-normalize
 f32 arm instead of raw u8). Repo root, real chip.
+
+`--host-only` runs ONLY step 1 (the loader thread sweep) and skips the
+tunnel entirely — the host half of the verdict is measurable with the
+tunnel down, and on this 1-CPU box it alone usually decides host-bound
+(compare loader img/s against the ledger's device img/s for the model).
 """
 
 from __future__ import annotations
@@ -75,7 +80,17 @@ def main():
     from p2vit_tpu.models import MODEL_ZOO, SWIN_ZOO, swin, vit
     from p2vit_tpu.profiling import require_tpu
 
-    require_tpu()
+    host_only = "--host-only" in sys.argv
+    if host_only:
+        # never touch the tunnel: the axon plugin inits its client even for
+        # CPU-only requests (CLAUDE.md) — unregister it pre-backend-init,
+        # same as tests/conftest.py and __graft_entry__.dryrun_multichip
+        from jax._src import xla_bridge
+
+        xla_bridge._backend_factories.pop("axon", None)
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        require_tpu()
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     model = args[0] if args else "deit_small_patch16_224"
 
@@ -116,6 +131,15 @@ def main():
         if rate > best_rate:
             best_rate, best_thr = rate, thr
     print(f"  loader bound: {best_rate:.1f} img/s (n_threads={best_thr})")
+    if host_only:
+        import json
+
+        print(json.dumps({
+            "model": model, "batch": batch, "ingest": "u8" if raw else "f32",
+            "loader_img_s": round(best_rate, 1), "loader_threads": best_thr,
+            "host_only": True,
+        }))
+        return
 
     # --- build the serving model (random init — no checkpoints, CLAUDE.md)
     family = swin if is_swin else vit

@@ -75,21 +75,24 @@ def ensure_dataset(n_imgs: int) -> str:
 
 
 def main():
+    host_only = "--host-only" in sys.argv
+    if host_only:
+        # never touch the tunnel: the axon plugin inits its client even for
+        # CPU-only requests (CLAUDE.md) — unregister it pre-backend-init,
+        # same as tests/conftest.py and __graft_entry__.dryrun_multichip.
+        # MUST run before the p2vit_tpu imports: models/vit.py materializes
+        # module-level jnp constants, which initializes the backend.
+        from jax._src import xla_bridge
+
+        if not xla_bridge.backends_are_initialized():
+            xla_bridge._backend_factories.pop("axon", None)
+            jax.config.update("jax_platforms", "cpu")
     from p2vit_tpu import data, serving, serving_swin
     from p2vit_tpu.config import make_policy
     from p2vit_tpu.models import MODEL_ZOO, SWIN_ZOO, swin, vit
     from p2vit_tpu.profiling import require_tpu
 
-    host_only = "--host-only" in sys.argv
-    if host_only:
-        # never touch the tunnel: the axon plugin inits its client even for
-        # CPU-only requests (CLAUDE.md) — unregister it pre-backend-init,
-        # same as tests/conftest.py and __graft_entry__.dryrun_multichip
-        from jax._src import xla_bridge
-
-        xla_bridge._backend_factories.pop("axon", None)
-        jax.config.update("jax_platforms", "cpu")
-    else:
+    if not host_only:
         require_tpu()
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     model = args[0] if args else "deit_small_patch16_224"

@@ -25,6 +25,17 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+# The interpret guard must run BEFORE the p2vit_tpu imports below:
+# models/vit.py materializes module-level jnp constants, so importing it
+# initializes the backend — and with a dead tunnel the axon plugin hangs
+# there, before main() would ever run (observed 2026-08-20).
+if "--interpret" in sys.argv:
+    from jax._src import xla_bridge as _xb
+
+    if not _xb.backends_are_initialized():
+        _xb._backend_factories.pop("axon", None)
+        jax.config.update("jax_platforms", "cpu")
+
 sys.path.insert(0, ".")
 from p2vit_tpu import profiling  # noqa: E402
 from p2vit_tpu import serving_swin  # noqa: E402
@@ -48,17 +59,8 @@ CASES = [
 
 
 def main():
-    interpret = "--interpret" in sys.argv  # CPU smoke of the same program
-    if interpret:
-        # a dead axon tunnel hangs even CPU-only backend init (the
-        # sitecustomize inits the tunnel inside backends(); CLAUDE.md) —
-        # drop the factory before anything touches a backend
-        from jax._src import xla_bridge as _xb
-
-        if not _xb.backends_are_initialized():
-            _xb._backend_factories.pop("axon", None)
-            jax.config.update("jax_platforms", "cpu")
-    else:
+    interpret = "--interpret" in sys.argv  # CPU smoke (guard at module top)
+    if not interpret:
         profiling.require_tpu()
     jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
     kw = {"interpret": True} if interpret else {}

@@ -56,6 +56,11 @@ CASES = [
     ("base_s3", 1024, 32, 7, 4),
     ("tiny_s1", 192, 6, 28, 3),
 ]
+# --only label_tp[,label_tp...] reruns a subset (e.g. after a slot timeout:
+# --only base_s3_4,tiny_s1_3), matching f"{label}_{tp}".
+if "--only" in sys.argv:
+    _want = set(sys.argv[sys.argv.index("--only") + 1].split(","))
+    CASES = [c for c in CASES if f"{c[0]}_{c[4]}" in _want]
 
 
 def main():
